@@ -1,0 +1,274 @@
+"""Batched stwo circle-STARK verifier (JAX, mask-based).
+
+The 7-stage pipeline of /root/reference/stwo-verifier/src/verifier.simf:32-58
+(commit -> OODS -> FRI commit -> PoW -> decommit -> DEEP quotients -> FRI),
+re-designed for TPU lanes:
+
+* One traced function verifies ONE proof with all per-query work vectorized
+  across the query axis; `jax.vmap` lifts it to a proof batch — failures are
+  boolean masks reduced into an accept bitmap, never aborts.
+* The Fiat-Shamir transcript is bit-exact with the reference (validated
+  against tests/data/proof{,_test}.json and the in-tree golden vectors).
+
+Deliberate divergence: the reference's terminal FRI check
+(fri/verify.simf:127 `assert log_size_ex == 0` and layers.simf:75
+`assert folded_query == 0`) is unsatisfiable for its own configs (LDE log 13
+minus 9 folds leaves log 4); since the last layer is a degree-0 polynomial,
+evaluation at ANY position equals its constant coefficient, so we check
+`folded_eval == last_layer_coeff` — the check the real stwo verifier
+performs — and additionally `folded_query == 0` only when the config folds
+all the way down.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import field as F
+from ...ops import merkle
+from ...ops.circle import (
+    CircleDomain,
+    LineDomain,
+    circle_position_to_point,
+    line_position_to_x,
+    qm31_point_x,
+    qm31_point_y,
+)
+from ...ops.sha256 import sha256_pair, sha256_words
+from ...ops.u32 import bit_reverse, byte_swap32, lt64
+from . import channel as ch
+from .config import StwoConfig
+from .constraints import REGISTRY
+
+
+def _combine_partitions(p0, p1, p2, p3):
+    """p0 + p1*i + p2*j + p3*ij (composition_poly.simf:38-44)."""
+    i = jnp.asarray([0, 1, 0, 0], jnp.uint32)
+    j = jnp.asarray([0, 0, 1, 0], jnp.uint32)
+    ij = jnp.asarray([0, 0, 0, 1], jnp.uint32)
+    res = F.qm31_add(p0, F.qm31_mul(p1, i))
+    res = F.qm31_add(res, F.qm31_mul(p2, j))
+    return F.qm31_add(res, F.qm31_mul(p3, ij))
+
+
+def composition_from_decomposed(oods_cp, oods_point):
+    """Reconstruct the CP evaluation from the 16 decomposed partitions:
+    F = F_a + y*F_b + x*F_c + x*y*F_d (composition_poly.simf:47-59)."""
+    cpa = _combine_partitions(*[oods_cp[..., 4 * k + 0, :] for k in range(4)])
+    cpb = _combine_partitions(*[oods_cp[..., 4 * k + 1, :] for k in range(4)])
+    cpc = _combine_partitions(*[oods_cp[..., 4 * k + 2, :] for k in range(4)])
+    cpd = _combine_partitions(*[oods_cp[..., 4 * k + 3, :] for k in range(4)])
+    x = qm31_point_x(oods_point)
+    y = qm31_point_y(oods_point)
+    res = F.qm31_add(cpa, F.qm31_mul(cpb, y))
+    res = F.qm31_add(res, F.qm31_mul(cpc, x))
+    return F.qm31_add(res, F.qm31_mul(cpd, F.qm31_mul(x, y)))
+
+
+def deep_denominator_inverse(oods_point, query_points):
+    """CM31 inverse of the DEEP quotient denominator
+    (deep/quotients.simf:15-22).  query_points: (Q, 2) M31 points."""
+    px = qm31_point_x(oods_point)  # (4,)
+    py = qm31_point_y(oods_point)
+    prx, pix = px[..., 0:2], px[..., 2:4]
+    pry, piy = py[..., 0:2], py[..., 2:4]
+    x = query_points[..., 0]
+    y = query_points[..., 1]
+    dx = F.cm31_sub_m31(jnp.broadcast_to(prx, x.shape + (2,)), x)
+    dy = F.cm31_sub_m31(jnp.broadcast_to(pry, y.shape + (2,)), y)
+    d = F.cm31_sub(F.cm31_mul(dx, jnp.broadcast_to(piy, dx.shape)),
+                   F.cm31_mul(dy, jnp.broadcast_to(pix, dy.shape)))
+    return F.cm31_inv(d)
+
+
+def deep_interpolant_coefficients(oods_point, sample_value, alpha_i):
+    """(a, b, c) of the complex-conjugate line interpolant, scaled by alpha^i
+    (deep/quotients.simf:25-35)."""
+    py = qm31_point_y(oods_point)
+    im_py = py[..., 2:4]
+    im_val = sample_value[..., 2:4]
+    zero = jnp.zeros_like(im_val)
+    a = jnp.concatenate([zero, F.cm31_neg(F.cm31_add(im_val, im_val))], axis=-1)
+    b = jnp.concatenate([zero, F.cm31_neg(F.cm31_add(im_py, im_py))], axis=-1)
+    c = F.qm31_sub(F.qm31_mul(b, sample_value), F.qm31_mul(a, py))
+    return F.qm31_mul(alpha_i, a), F.qm31_mul(alpha_i, b), F.qm31_mul(alpha_i, c)
+
+
+def fri_answers(cfg: StwoConfig, queries, trace_evals, cp_evals, random_coeff,
+                oods_point, oods_trace, oods_cp):
+    """DEEP quotient aggregation per query (fri/answers.simf:97-154).
+
+    queries: (Q,); trace_evals: (Q, C); cp_evals: (Q, 16).
+    Returns (Q, 4) QM31 quotients.
+    """
+    log = cfg.lde_log_size
+    domain = CircleDomain(log)
+    positions = bit_reverse(queries, log)
+    pts = circle_position_to_point(domain, positions)  # (Q, 2)
+    denom_inv = deep_denominator_inverse(oods_point, pts)  # (Q, 2)
+    py_query = pts[..., 1]  # (Q,)
+
+    acc = F.qm31_zero(queries.shape)
+    alpha_i = random_coeff
+    items = [(oods_trace[..., c, :], trace_evals[..., c]) for c in range(cfg.n_columns)]
+    items += [(oods_cp[..., k, :], cp_evals[..., k]) for k in range(cfg.n_cp_partitions)]
+    for oods_val, vals in items:
+        a, b, c = deep_interpolant_coefficients(oods_point, oods_val, alpha_i)
+        num = F.qm31_sub(
+            F.qm31_mul_m31(jnp.broadcast_to(b, vals.shape + (4,)), vals),
+            F.qm31_add(
+                F.qm31_mul_m31(jnp.broadcast_to(a, vals.shape + (4,)), py_query),
+                jnp.broadcast_to(c, vals.shape + (4,)),
+            ),
+        )
+        acc = F.qm31_add(acc, num)
+        alpha_i = F.qm31_mul(alpha_i, random_coeff)
+    batch_coeff = alpha_i
+    quotient = F.qm31_mul(
+        F.qm31_mul_cm31(acc, denom_inv), jnp.broadcast_to(batch_coeff, acc.shape)
+    )
+    return quotient
+
+
+def _fold(position, eval0, eval1, log: int, alpha, first: bool):
+    """Circle fold (first layer) / line fold (inner) — fri/folding.simf."""
+    rev = bit_reverse(position, log)
+    if first:
+        y = circle_position_to_point(CircleDomain(log), rev)[..., 1]
+        inv = F.m31_inv(y)
+    else:
+        x = line_position_to_x(LineDomain(log), rev)
+        inv = F.m31_inv(x)
+    f0 = F.qm31_add(eval0, eval1)
+    f1 = F.qm31_mul_m31(F.qm31_sub(eval0, eval1), inv)
+    return F.qm31_add(f0, F.qm31_mul(jnp.broadcast_to(alpha, f1.shape), f1))
+
+
+def _fri_layer(queries, evals, witness, sibs, root, log: int, alpha, first: bool):
+    """Verify one FRI layer for all queries; return folded (queries, evals, ok).
+
+    fri/layers.simf:29-69: pair (eval, witness) into adjacent leaves, verify
+    the 2-leaf decommitment at depth log-1, fold, halve the query.
+    """
+    is_even = (queries & 1) == 0
+    position = queries & jnp.uint32(0xFFFFFFFE)
+    eval0 = jnp.where(is_even[..., None], evals, witness)
+    eval1 = jnp.where(is_even[..., None], witness, evals)
+    leaf0 = sha256_words(eval0)
+    leaf1 = sha256_words(eval1)
+    node = sha256_pair(leaf0, leaf1)
+    ok = merkle.verify_path(node, position >> 1, sibs, root[..., None, :])
+    folded = _fold(position, eval0, eval1, log, alpha, first)
+    return position >> 1, folded, ok
+
+
+def verify(proof, cfg: StwoConfig, air: str = "wide_fibonacci"):
+    """Verify a single stwo proof; returns (ok, diagnostics dict).
+
+    All leaves of `proof` are single-proof arrays (see proof.StwoProof);
+    use `jax.vmap(lambda p: verify(p, cfg)[0])` for a batch.
+    """
+    eval_cp = REGISTRY[air]
+    masks = {}
+
+    # Stage I: commitments (evals/commit.simf:20-35)
+    state = ch.init(proof.commitments.shape[:-2])
+    state = ch.mix_root(state, proof.commitments[..., 0, :])
+    state = ch.mix_root(state, proof.commitments[..., 1, :])
+    state, cp_alpha, ok = ch.draw_qm31(state)
+    masks["draw_cp_alpha"] = ok
+    state = ch.mix_root(state, proof.commitments[..., 2, :])
+
+    # Stage II: OODS (deep/oods.simf:44-64)
+    state, oods_point, ok = ch.draw_qm31_point(state)
+    masks["draw_oods_point"] = ok
+    oods_words = jnp.concatenate(
+        [
+            proof.oods_trace.reshape(proof.oods_trace.shape[:-2] + (-1,)),
+            proof.oods_cp.reshape(proof.oods_cp.shape[:-2] + (-1,)),
+        ],
+        axis=-1,
+    )
+    state = ch.mix_words(state, oods_words)
+    cp_eval = eval_cp(cfg.trace_log_size, oods_point, proof.oods_trace, cp_alpha)
+    sampled_cp = composition_from_decomposed(proof.oods_cp, oods_point)
+    masks["oods_cp_match"] = F.qm31_eq(cp_eval, sampled_cp)
+    state, deep_alpha, ok = ch.draw_qm31(state)
+    masks["draw_deep_alpha"] = ok
+
+    # Stage III: FRI commit (fri/commit.simf:72-85)
+    fri_alphas = []
+    state = ch.mix_root(state, proof.fri_first_commit)
+    state, alpha, ok = ch.draw_qm31(state)
+    masks["draw_fri_alpha_first"] = ok
+    fri_alphas.append(alpha)
+    for i in range(cfg.n_inner_layers):
+        state = ch.mix_root(state, proof.fri_inner_commits[..., i, :])
+        state, alpha, ok = ch.draw_qm31(state)
+        masks[f"draw_fri_alpha_{i}"] = ok
+        fri_alphas.append(alpha)
+    state = ch.mix_words(state, proof.fri_last)
+
+    # Stage IV: proof of work (pow.simf:22-35)
+    state = ch.mix_u64(state, proof.pow_nonce[..., 0], proof.pow_nonce[..., 1])
+    g = state.digest[..., 6]
+    h = state.digest[..., 7]
+    val_hi = byte_swap32(h)
+    val_lo = byte_swap32(g)
+    target = cfg.pow_target
+    masks["pow"] = lt64(
+        val_hi, val_lo, jnp.uint32(target >> 32), jnp.uint32(target & 0xFFFFFFFF)
+    )
+
+    # Stage V: queries + evaluation decommitments (evals/verify.simf:111-123)
+    state, queries = ch.draw_queries(state, cfg.n_queries, cfg.lde_log_size)
+    trace_leaf = sha256_words(proof.trace_evals)  # (Q, 8)
+    masks["trace_merkle"] = jnp.all(
+        merkle.verify_path(
+            trace_leaf, queries, proof.trace_sibs, proof.commitments[..., None, 1, :]
+        ),
+        axis=-1,
+    )
+    cp_leaf = sha256_words(proof.cp_evals)
+    masks["cp_merkle"] = jnp.all(
+        merkle.verify_path(
+            cp_leaf, queries, proof.cp_sibs, proof.commitments[..., None, 2, :]
+        ),
+        axis=-1,
+    )
+
+    # Stage VI: DEEP quotients (fri/answers.simf)
+    answers = fri_answers(
+        cfg, queries, proof.trace_evals, proof.cp_evals, deep_alpha,
+        oods_point, proof.oods_trace, proof.oods_cp,
+    )
+
+    # Stage VII: FRI (fri/verify.simf:114-129)
+    cur_q, cur_e = queries, answers
+    log = cfg.lde_log_size
+    roots = [proof.fri_first_commit] + [
+        proof.fri_inner_commits[..., i, :] for i in range(cfg.n_inner_layers)
+    ]
+    for l, root in enumerate(roots):
+        cur_q, cur_e, ok = _fri_layer(
+            cur_q, cur_e, proof.fri_witnesses[l], proof.fri_sibs[l],
+            root, log, fri_alphas[l], first=(l == 0),
+        )
+        masks[f"fri_merkle_{l}"] = jnp.all(ok, axis=-1)
+        log -= 1
+
+    last = jnp.broadcast_to(proof.fri_last[..., None, :], cur_e.shape)
+    masks["fri_last_eval"] = jnp.all(F.qm31_eq(cur_e, last), axis=-1)
+    if cfg.final_log_size == 0:
+        masks["fri_last_query"] = jnp.all(cur_q == 0, axis=-1)
+
+    ok_all = None
+    for m in masks.values():
+        ok_all = m if ok_all is None else (ok_all & m)
+    return ok_all, masks
+
+
+def verify_batch(proof_batch, cfg: StwoConfig, air: str = "wide_fibonacci"):
+    """vmap over the leading proof axis; returns the accept bitmap (B,)."""
+    return jax.vmap(lambda p: verify(p, cfg, air)[0])(proof_batch)
