@@ -117,25 +117,32 @@ def _prove_jit(cfg: Stark101Config, trace):
     state, a2 = ch.draw(state, F.Q)
 
     # Composition polynomial values on the coset (pointwise quotients).
-    xs = np.empty(n_ex, dtype=np.uint32)
+    # The coset points and all constraint denominators are protocol
+    # constants: precompute them (and their inverses) on host.
+    xs_host = np.empty(n_ex, dtype=np.object_)
     cur = F.GEN % F.Q
     for i in range(n_ex):
-        xs[i] = cur
+        xs_host[i] = cur
         cur = (cur * h) % F.Q
-    xs = jnp.asarray(xs)
+    g1021, g1022, g1023 = cfg.g_pow(1021), cfg.g_pow(1022), cfg.g_pow(1023)
+    inv0_host = np.array([pow(int(x - 1) % F.Q, F.Q - 2, F.Q) for x in xs_host], np.uint32)
+    inv1_host = np.array([pow(int(x - g1022) % F.Q, F.Q - 2, F.Q) for x in xs_host], np.uint32)
+    inv2_host = np.array(
+        [pow((pow(int(x), n, F.Q) - 1) % F.Q, F.Q - 2, F.Q) for x in xs_host], np.uint32
+    )
+    xs = jnp.asarray(xs_host.astype(np.uint32))
     one = jnp.uint32(1)
     f_x = p_ev
     f_gx = jnp.roll(p_ev, -cfg.idx_offset, axis=-1)
     f_ggx = jnp.roll(p_ev, -2 * cfg.idx_offset, axis=-1)
-    g1021 = jnp.uint32(cfg.g_pow(1021))
-    g1022 = jnp.uint32(cfg.g_pow(1022))
-    g1023 = jnp.uint32(cfg.g_pow(1023))
-    p0 = F.f_div(F.f_sub(f_x, one), F.f_sub(xs, one))
-    p1 = F.f_div(F.f_sub(f_x, jnp.uint32(cfg.boundary1)), F.f_sub(xs, g1022))
+    p0 = F.f_mul(F.f_sub(f_x, one), jnp.asarray(inv0_host))
+    p1 = F.f_mul(F.f_sub(f_x, jnp.uint32(cfg.boundary1)), jnp.asarray(inv1_host))
     num0 = F.f_sub(f_ggx, F.f_add(F.f_mul(f_x, f_x), F.f_mul(f_gx, f_gx)))
-    num1 = F.f_mul(F.f_mul(F.f_sub(xs, g1021), F.f_sub(xs, g1022)), F.f_sub(xs, g1023))
-    den = F.f_sub(F.f_pow(xs, n), one)
-    p2 = F.f_div(F.f_mul(num0, num1), den)
+    num1 = F.f_mul(
+        F.f_mul(F.f_sub(xs, jnp.uint32(g1021)), F.f_sub(xs, jnp.uint32(g1022))),
+        F.f_sub(xs, jnp.uint32(g1023)),
+    )
+    p2 = F.f_mul(F.f_mul(num0, num1), jnp.asarray(inv2_host))
     cp_ev = F.f_add(F.f_add(F.f_mul(p0, a0), F.f_mul(p1, a1)), F.f_mul(p2, a2))
 
     # FRI: fold down to a constant, committing each layer.
@@ -143,28 +150,33 @@ def _prove_jit(cfg: Stark101Config, trace):
     fri_levels = []
     fri_roots = []
     fri_betas = []
-    fri_xs = [xs]
     cur_vals = cp_ev
-    cur_xs = xs
     lv, root = _tree(cur_vals)
     fri_levels.append(lv)
     fri_roots.append(root)
     state = ch.mix_words(state, root)
 
     inv2 = jnp.uint32(pow(2, F.Q - 2, F.Q))
+    # Host-precomputed per-layer domain inverses: layer i domain is
+    # {x^(2^i)} for the first half of the previous domain.
+    xinv_layers = []
+    cur_inv = [pow(int(x), F.Q - 2, F.Q) for x in xs_host]
+    for layer in range(cfg.n_fri_layers):
+        cur_inv = cur_inv[: len(cur_inv) // 2]
+        xinv_layers.append(np.array(cur_inv, np.uint32))
+        cur_inv = [(v * v) % F.Q for v in cur_inv]
     for layer in range(cfg.n_fri_layers):
         state, beta = ch.draw(state, F.Q)
         fri_betas.append(beta)
         half = cur_vals.shape[-1] // 2
         va = cur_vals[..., :half]
         vb = cur_vals[..., half:]
-        xh = cur_xs[..., :half]
         even = F.f_mul(F.f_add(va, vb), inv2)
-        odd = F.f_mul(F.f_mul(F.f_sub(va, vb), inv2), F.f_inv(xh))
+        odd = F.f_mul(
+            F.f_mul(F.f_sub(va, vb), inv2), jnp.asarray(xinv_layers[layer])
+        )
         cur_vals = F.f_add(even, F.f_mul(odd, beta))
-        cur_xs = F.f_mul(xh, xh)
         fri_values.append(cur_vals)
-        fri_xs.append(cur_xs)
         if layer < cfg.n_fri_layers - 1:
             lv, root = _tree(cur_vals)
             fri_levels.append(lv)

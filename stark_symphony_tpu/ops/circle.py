@@ -96,11 +96,14 @@ def point_from_index(index):
     """
     index = jnp.asarray(index, dtype=jnp.uint32)
     shape = index.shape
-    x = jnp.ones(shape, dtype=jnp.uint32)
-    y = jnp.zeros(shape, dtype=jnp.uint32)
-    res = jnp.stack([x, y], axis=-1)
-    for k in range(31):
-        gk = jnp.broadcast_to(jnp.asarray(GEN_POW2[k]), res.shape)
+    identity = np.broadcast_to(np.array([1, 0], np.uint32), shape + (2,))
+    # first bit: select identity or G directly so `res` is traced from the
+    # start (all-concrete jnp ops during tracing are pathologically slow)
+    bit0 = ((index >> 0) & 1).astype(bool)
+    g0 = np.broadcast_to(GEN_POW2[0], shape + (2,))
+    res = jnp.where(bit0[..., None], g0, identity)
+    for k in range(1, 31):
+        gk = np.broadcast_to(GEN_POW2[k], res.shape)
         added = point_add(res, gk)
         bit = ((index >> k) & 1).astype(bool)
         res = jnp.where(bit[..., None], added, res)

@@ -90,7 +90,9 @@ def m31_pow(a, exponent: int):
         if e:
             base = m31_sqr(base)
     if result is None:
-        return jnp.broadcast_to(U32(1), jnp.shape(_u(a)))
+        import numpy as np
+
+        return np.broadcast_to(np.uint32(1), jnp.shape(_u(a)))
     return result
 
 
@@ -176,12 +178,16 @@ def qm31_scalar(a, b, c, d):
 
 
 def qm31_zero(shape=()):
-    return jnp.zeros(tuple(shape) + (4,), dtype=jnp.uint32)
+    import numpy as np
+
+    return np.zeros(tuple(shape) + (4,), dtype=np.uint32)
 
 
 def qm31_one(shape=()):
-    return jnp.broadcast_to(
-        jnp.asarray([1, 0, 0, 0], dtype=jnp.uint32), tuple(shape) + (4,)
+    import numpy as np
+
+    return np.broadcast_to(
+        np.asarray([1, 0, 0, 0], dtype=np.uint32), tuple(shape) + (4,)
     )
 
 
@@ -227,9 +233,9 @@ _R_CONST = None  # (2 + i) as a module-level lazy constant
 
 
 def _two_plus_i(shape):
-    return jnp.broadcast_to(
-        jnp.asarray([2, 1], dtype=jnp.uint32), tuple(shape) + (2,)
-    )
+    import numpy as np
+
+    return np.broadcast_to(np.asarray([2, 1], dtype=np.uint32), tuple(shape) + (2,))
 
 
 def qm31_mul(x, y):

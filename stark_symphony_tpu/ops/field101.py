@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import numpy as np
+
 from .u32 import U32, mul32_wide, mullo32
 
 Q = 3221225473  # 3 * 2^30 + 1
@@ -44,7 +46,7 @@ def _mont_redc(hi, lo):
     Returns t * 2^-32 mod q, canonical in [0, q).
     """
     m = mullo32(lo, _NQI)
-    mq_hi, _ = mul32_wide(m, Q32)
+    mq_hi, _ = mul32_wide(m, Q)
     # (lo + mq_lo) is a multiple of 2^32: carry is 1 iff lo != 0.
     carry = (lo != 0).astype(U32)
     # t = hi + mq_hi + carry may exceed 2^32 (q > 2^31): track carries.
@@ -61,13 +63,13 @@ def _mont_redc(hi, lo):
 
 def mont_mul(a, b):
     """a * b * 2^-32 mod q."""
-    hi, lo = mul32_wide(_u(a), _u(b))
+    hi, lo = mul32_wide(a, b)
     return _mont_redc(hi, lo)
 
 
 def f_mul(a, b):
     """a * b mod q (standard form in, standard form out)."""
-    return mont_mul(mont_mul(a, b), _R2)
+    return mont_mul(mont_mul(a, b), np.uint32(R2_MOD_Q))
 
 
 def f_add(a, b):
@@ -99,7 +101,7 @@ def f_pow(a, exponent: int):
     e = int(exponent)
     if e == 0:
         return jnp.broadcast_to(U32(1), jnp.shape(_u(a)))
-    am = mont_mul(a, _R2)  # to Montgomery form
+    am = mont_mul(a, np.uint32(R2_MOD_Q))  # to Montgomery form
     result = None
     base = am
     while e > 0:
@@ -108,7 +110,7 @@ def f_pow(a, exponent: int):
         e >>= 1
         if e:
             base = mont_mul(base, base)
-    return mont_mul(result, U32(1))  # back to standard form
+    return mont_mul(result, np.uint32(1))  # back to standard form
 
 
 def f_inv(a):
@@ -118,6 +120,28 @@ def f_inv(a):
 
 def f_div(a, b):
     return f_mul(a, f_inv(b))
+
+
+def f_inv_many(values):
+    """Batch inversion (Montgomery's trick): one f_inv for N values.
+
+    `values` is a list of arrays (any broadcast-compatible shapes); returns
+    the list of elementwise inverses.  Zero inputs yield zeros for ALL
+    entries sharing a lane with the zero — callers must ensure nonzero
+    inputs (verifier denominators are nonzero for honest and dishonest
+    proofs alike; a zero would indicate a malformed query anyway and is
+    caught by the Merkle masks).
+    """
+    prefix = [values[0]]
+    for v in values[1:]:
+        prefix.append(f_mul(prefix[-1], v))
+    inv_all = f_inv(prefix[-1])
+    out = [None] * len(values)
+    for i in range(len(values) - 1, 0, -1):
+        out[i] = f_mul(inv_all, prefix[i - 1])
+        inv_all = f_mul(inv_all, values[i])
+    out[0] = inv_all
+    return out
 
 
 def mod_u64(hi, lo, m: int):
@@ -141,7 +165,7 @@ def mod_u64(hi, lo, m: int):
 
         def redc(h, l):
             mm = mullo32(l, U32(neg_minv))
-            mqh, _ = mul32_wide(mm, m32)
+            mqh, _ = mul32_wide(mm, m)
             carry = (l != 0).astype(U32)
             s1 = h + mqh
             c1 = (s1 < h).astype(U32)
@@ -156,7 +180,7 @@ def mod_u64(hi, lo, m: int):
         # value < m * 2^32, i.e. hi < m — reduce hi first).
         hi_r = _umod_small(hi, m)
         t = redc(hi_r, lo)            # value * 2^-32 mod m
-        th, tl = mul32_wide(t, U32(r2))
+        th, tl = mul32_wide(t, np.uint32(r2))
         return redc(th, tl)           # value mod m
     raise NotImplementedError("even non-power-of-two modulus")
 
@@ -166,7 +190,7 @@ def _umod_small(x, m: int):
     # Barrett with 32-bit reciprocal: q = (x * floor(2^32/m)) >> 32 underestimates
     # by at most 1 for m not a power of two; correct with one subtract.
     recip = ((1 << 32) // m)
-    qh, _ = mul32_wide(x, U32(recip))
+    qh, _ = mul32_wide(x, np.uint32(recip))
     r = _u(x) - mullo32(qh, U32(m))
     r = jnp.where(r >= U32(m), r - U32(m), r)
     r = jnp.where(r >= U32(m), r - U32(m), r)

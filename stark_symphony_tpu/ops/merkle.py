@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .sha256 import sha256_pair
 
@@ -61,6 +62,42 @@ def compute_root(leaf_digest, index, siblings):
 
     (cur, _), _ = jax.lax.scan(step, (leaf_digest, idx), sibs)
     return cur
+
+
+def verify_path_padded(leaf_digest, index, siblings, root, depths):
+    """verify_path for a batch of paths of DIFFERENT depths, zero-padded to
+    a common max depth.
+
+    Args:
+      leaf_digest: (..., B, 8); index: (..., B); siblings: (..., B, D, 8)
+      root: (..., B, 8); depths: (B,) numpy int array of true path depths.
+
+    One scan over D levels; levels beyond a path's depth leave its digest
+    unchanged.  This collapses many differently-shaped Merkle checks into a
+    single compression-function call site (compile-time win).
+    """
+    idx = jnp.asarray(index, jnp.uint32)
+    leaf_digest, idx = jnp.broadcast_arrays(leaf_digest, idx[..., None])
+    idx = idx[..., 0]
+    sibs = jnp.moveaxis(siblings, -2, 0)  # (D, ..., B, 8)
+    sibs = jnp.broadcast_to(sibs, sibs.shape[:1] + leaf_digest.shape)
+    depths = jnp.asarray(np.asarray(depths, np.int32))
+    d_iota = jnp.arange(sibs.shape[0], dtype=jnp.int32)
+
+    def step(carry, inp):
+        cur, i = carry
+        sib, d = inp
+        bit = (i & 1).astype(bool)[..., None]
+        left = jnp.where(bit, sib, cur)
+        right = jnp.where(bit, cur, sib)
+        nxt = sha256_pair(left, right)
+        active = (d < depths)[..., None]
+        cur = jnp.where(active, nxt, cur)
+        i = jnp.where(d < depths, i >> 1, i)
+        return (cur, i), None
+
+    (cur, _), _ = jax.lax.scan(step, (leaf_digest, idx), (sibs, d_iota))
+    return jnp.all(cur == root, axis=-1)
 
 
 def build_tree(leaf_digests):

@@ -51,7 +51,7 @@ IV = np.array([
 
 
 def iv(shape=()):
-    return jnp.broadcast_to(jnp.asarray(IV), tuple(shape) + (8,))
+    return np.broadcast_to(IV, tuple(shape) + (8,))
 
 
 def _small_sigma0(x):
@@ -190,7 +190,7 @@ def sha256_words(words):
         state = compress_const_schedule(state, const_sched)
         return state
     full = jnp.concatenate(
-        [words, jnp.broadcast_to(jnp.asarray(pad), words.shape[:-1] + pad.shape)],
+        [words, jnp.broadcast_to(pad, words.shape[:-1] + pad.shape)],
         axis=-1,
     )
     for b in range(n_blocks):

@@ -20,18 +20,48 @@ def _u(x):
     return jnp.asarray(x, dtype=jnp.uint32)
 
 
+def _is_host_const(x) -> bool:
+    """True for values that should be limb-split on host (Python ints,
+    numpy scalars/arrays) — never via eager jnp ops."""
+    import numpy as _np
+
+    return isinstance(x, (int, _np.integer, _np.ndarray))
+
+
 def mul32_wide(a, b):
     """Full 32x32 -> 64-bit product as a (hi, lo) pair of uint32 arrays.
 
     Schoolbook product over 16-bit limbs; all intermediates fit in uint32
     with explicit carry recovery.
+
+    Python-int / numpy-scalar operands are limb-split on host: eager jnp
+    ops on concrete values during tracing are catastrophically slow on some
+    backends, so constants must never flow through traced bit ops.
     """
-    a = _u(a)
-    b = _u(b)
-    a0 = a & MASK16
-    a1 = a >> 16
-    b0 = b & MASK16
-    b1 = b >> 16
+    import numpy as _np
+
+    if _is_host_const(a) and not _is_host_const(b):
+        a, b = b, a
+    if isinstance(b, (int, _np.integer)):
+        b = int(b)
+        b0 = _np.uint32(b & 0xFFFF)
+        b1 = _np.uint32(b >> 16)
+    elif isinstance(b, _np.ndarray):
+        b = b.astype(_np.uint32)
+        b0 = b & _np.uint32(0xFFFF)
+        b1 = b >> 16
+    else:
+        b = _u(b)
+        b0 = b & MASK16
+        b1 = b >> 16
+    if isinstance(a, (int, _np.integer, _np.ndarray)):
+        a = _np.asarray(a, _np.uint32)
+        a0 = a & _np.uint32(0xFFFF)
+        a1 = a >> 16
+    else:
+        a = _u(a)
+        a0 = a & MASK16
+        a1 = a >> 16
     p00 = a0 * b0
     p01 = a0 * b1
     p10 = a1 * b0

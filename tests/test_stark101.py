@@ -31,7 +31,7 @@ def test_derived_constants(cfg):
 
 
 def test_verify_golden(golden, cfg):
-    ok, masks = jax.jit(lambda p: verifier.verify(p, cfg))(golden)
+    ok, masks = verifier.verify_jit(golden, cfg)
     failed = [k for k, v in masks.items() if not bool(np.asarray(v).all())]
     assert bool(ok), f"failed masks: {failed}"
 
@@ -50,7 +50,7 @@ def test_tampered_rejected(golden, cfg, field, mutate):
     d = golden._asdict()
     d[field] = mutate(np.array(d[field]))
     bad = P.Stark101Proof(**d)
-    ok, _ = jax.jit(lambda p: verifier.verify(p, cfg))(bad)
+    ok, _ = verifier.verify_jit(bad, cfg)
     assert not bool(ok)
 
 
@@ -74,6 +74,6 @@ def test_prover_reproduces_reference_proof(golden, cfg):
 
 def test_prove_verify_roundtrip(cfg):
     proof, _ = prover.prove(cfg)
-    ok, masks = jax.jit(lambda p: verifier.verify(p, cfg))(proof)
+    ok, masks = verifier.verify_jit(proof, cfg)
     failed = [k for k, v in masks.items() if not bool(np.asarray(v).all())]
     assert bool(ok), f"failed masks: {failed}"
