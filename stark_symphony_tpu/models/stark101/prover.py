@@ -109,8 +109,10 @@ def _prove_jit(cfg: Stark101Config, trace):
     p_ev = eval_on_coset(coeffs, F.GEN, h, n_out=n_ex)  # values on 5 * <h>
     p_levels, p_root = _tree(p_ev)
 
-    state = jnp.zeros((8,), jnp.uint32)
-    state = ch.mix_words(state, p_root)
+    # Channel genesis: state = H(root).  The reference channel starts from
+    # b'' so its first mix hashes just the root (channel.py:49, mix :55-57)
+    # — NOT H(0^32 || root).
+    state = sha256_words(p_root)
 
     state, a0 = ch.draw(state, F.Q)
     state, a1 = ch.draw(state, F.Q)
