@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ...ops import field as F
 from ...ops.sha256 import sha256_words
+from ...utils import trace as _trace
 
 DBL_P = jnp.uint32(0xFFFFFFFE)  # 2 * (2^31 - 1) = 2^32 - 2
 
@@ -43,13 +44,16 @@ def draw_words(state: ChannelState):
     """One draw: H(digest || counter) -> 8 u32 words; counter += 1."""
     msg = jnp.concatenate([state.digest, state.counter[..., None]], axis=-1)
     words = sha256_words(msg)
+    _trace.emit("draw", words)
     return ChannelState(state.digest, state.counter + 1), words
 
 
 def mix_words(state: ChannelState, words) -> ChannelState:
     """Mix payload words: digest = H(digest || words); counter = 0."""
     msg = jnp.concatenate([state.digest, words], axis=-1)
-    return ChannelState(sha256_words(msg), jnp.zeros_like(state.counter))
+    digest = sha256_words(msg)
+    _trace.emit("mix", digest)
+    return ChannelState(digest, jnp.zeros_like(state.counter))
 
 
 def mix_root(state: ChannelState, root) -> ChannelState:

@@ -58,15 +58,20 @@ from .verifier import deep_denominator_inverse, deep_interpolant_coefficients
 P = F.P
 
 
-def generate_trace(cfg: StwoConfig, seeds=None) -> np.ndarray:
-    """Wide-Fibonacci trace: per-row sequences col_k = col_{k-1}^2 +
-    col_{k-2}^2 with col0 = 1 and col1 = seed (default row index + 1)."""
+def generate_trace(cfg: StwoConfig, seeds=None,
+                   air: str = "wide_fibonacci") -> np.ndarray:
+    """AIR-satisfying trace: per-row sequences col_k = rule(col_{k-2},
+    col_{k-1}) with col0 = 1 and col1 = seed (default row index + 1).
+    Default rule is wide-Fibonacci (c = a^2 + b^2)."""
+    from .constraints import TRACE_RULES
+
+    rule = TRACE_RULES[air]
     t = 1 << cfg.trace_log_size
     if seeds is None:
         seeds = np.arange(1, t + 1, dtype=np.uint64)
     cols = [np.ones(t, np.uint64), np.asarray(seeds, np.uint64) % P]
     for _ in range(2, cfg.n_columns):
-        cols.append((cols[-1] ** 2 + cols[-2] ** 2) % P)
+        cols.append(rule(cols[-2], cols[-1]) % P)
     return np.stack(cols).astype(np.uint32)  # (C, T)
 
 
@@ -113,11 +118,12 @@ def _gather(levels, indices):
     return jax.vmap(lambda i: merkle.gather_path(levels, i))(indices)
 
 
-def prove(cfg: StwoConfig, trace: np.ndarray | None = None):
+def prove(cfg: StwoConfig, trace: np.ndarray | None = None,
+          air: str = "wide_fibonacci"):
     """Generate one stwo proof.  Returns (StwoProof numpy pytree, info)."""
     if trace is None:
-        trace = generate_trace(cfg)
-    out = _prove_jit(cfg, jnp.asarray(trace, jnp.uint32))
+        trace = generate_trace(cfg, air=air)
+    out = _prove_jit(cfg, jnp.asarray(trace, jnp.uint32), air)
     to_np = lambda x: np.asarray(x)
     proof = StwoProof(
         commitments=to_np(out.commitments),
@@ -145,8 +151,8 @@ EMPTY_ROOT_WORDS = np.frombuffer(
 ).astype(np.uint32)  # sha256("") — the empty preprocessed tree commitment
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _prove_jit(cfg: StwoConfig, trace):
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _prove_jit(cfg: StwoConfig, trace, air: str = "wide_fibonacci"):
     lde_log = cfg.lde_log_size
     t_log = cfg.trace_log_size
     L = 1 << lde_log
@@ -169,12 +175,15 @@ def _prove_jit(cfg: StwoConfig, trace):
     state, cp_alpha, _ = ch.draw_qm31(state)
 
     # 3. composition polynomial on LDE domain (QM31 values (L, 4))
+    from .constraints import lde_rule
+
+    rule = lde_rule(air)
     acc = F.qm31_zero((L,))
     for k in range(2, C):
         a = trace_lde[k - 2]
         b = trace_lde[k - 1]
         c = trace_lde[k]
-        constraint = F.m31_sub(c, F.m31_add(F.m31_sqr(a), F.m31_sqr(b)))
+        constraint = F.m31_sub(c, rule(a, b))
         acc = F.qm31_add(
             F.qm31_mul(acc, jnp.broadcast_to(cp_alpha, acc.shape)),
             F.qm31_from_m31(constraint),

@@ -202,12 +202,17 @@ def unfold_first_layer(proof, cfg: StwoConfig, queries, fri_alphas):
     return v_next
 
 
-def verify(proof, cfg: StwoConfig, air: str = "wide_fibonacci",
-           linkage: str = "reference"):
+def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
+           linkage: str = "reference", air_id=None):
     """Verify a single stwo proof; returns (ok, diagnostics dict).
 
     All leaves of `proof` are single-proof arrays (see proof.StwoProof);
     use `jax.vmap(lambda p: verify(p, cfg)[0])` for a batch.
+
+    air: an AIR name from constraints.REGISTRY, or a tuple of names for
+      heterogeneous-AIR (expert-parallel) routing — then `air_id` is a
+      traced per-proof index into that tuple and the composition check
+      uses the routed constraint set (see parallel/expert.py).
 
     linkage:
       'reference' — stage VI computes the DEEP quotients per the reference
@@ -226,7 +231,14 @@ def verify(proof, cfg: StwoConfig, air: str = "wide_fibonacci",
         commitments; stage VI answers are additionally computed and exposed
         in diagnostics but not enforced.
     """
-    eval_cp = REGISTRY[air]
+    if isinstance(air, (tuple, list)):
+        assert air_id is not None, "routed AIRs need a per-proof air_id"
+        branches = [REGISTRY[name] for name in air]
+        eval_cp = lambda *a: jnp.take(
+            jnp.stack([f(*a) for f in branches]), air_id, axis=0
+        )
+    else:
+        eval_cp = REGISTRY[air]
     masks = {}
 
     # Stage I: commitments (evals/commit.simf:20-35)
