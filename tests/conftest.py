@@ -7,7 +7,10 @@ without TPU pods.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient env points at a real TPU (e.g.
+# JAX_PLATFORMS=axon): the test suite needs 8 virtual devices for the
+# mesh/sharding tests.  Override with STPU_TEST_PLATFORM if ever needed.
+os.environ["JAX_PLATFORMS"] = os.environ.get("STPU_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +18,11 @@ if "host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The axon boot hook (sitecustomize) may have already imported jax and set
+# jax_platforms="axon,cpu"; env vars are ignored after that, so force the
+# config directly before any backend initializes.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
