@@ -194,7 +194,13 @@ def _prove_jit(cfg: StwoConfig, trace, air: str = "wide_fibonacci"):
     # 4. decomposition -> 16 M31 columns on LDE domain
     cp_coeffs = cfft_interpolate(cp_vals, lde_log, qm31=True)  # (L, 4)
     q = L // 4
-    # quarters: 0 -> F_a, 1 -> F_c (x), 2 -> F_b (y), 3 -> F_d (xy)
+    # Coefficient bit layout is [y | x | pi-tower] (circle_fft.py:18-24), so
+    # CP = F_a + y F_b + x F_c + x y F_d with
+    #   quarter 0 -> F_a, 1 -> x*F_c, 2 -> y*F_b, 3 -> x*y*F_d.
+    # The committed decomposition columns are the polys WITHOUT their
+    # monomial factors (the verifier re-applies x/y/xy when recombining,
+    # evals/composition_poly.simf:47-59), so each quarter's coefficients are
+    # re-based into quarter 0 (pure pi-tower basis) before evaluating.
     quarter_of_poly = {0: 0, 1: 2, 2: 1, 3: 3}  # poly index (a,b,c,d) -> quarter
     cp_cols = []
     col_coeffs = []
@@ -202,9 +208,7 @@ def _prove_jit(cfg: StwoConfig, trace, air: str = "wide_fibonacci"):
         for p_idx in range(4):  # poly a, b, c, d
             quarter = quarter_of_poly[p_idx]
             coeff = jnp.zeros((L,), jnp.uint32)
-            coeff = coeff.at[quarter * q : (quarter + 1) * q].set(
-                cp_coeffs[quarter * q : (quarter + 1) * q, g]
-            )
+            coeff = coeff.at[0:q].set(cp_coeffs[quarter * q : (quarter + 1) * q, g])
             col_coeffs.append(coeff)
             cp_cols.append(cfft_eval(coeff, lde_log))
     cp_col_vals = jnp.stack(cp_cols)  # (16, L)

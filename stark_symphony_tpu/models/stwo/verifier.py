@@ -222,9 +222,24 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
         was never executed end-to-end (verifier.simf's test never calls
         verify_proof; fri/verify.simf:127's log_size assert is unsatisfiable
         for its own configs) and its quotient aggregation provably differs
-        from what the fixtures' prover committed (see tests).  Proofs from
-        this framework's own stwo prover use the same semantics and verify
-        fully.
+        from what the fixtures' prover committed.  Evidence (reproducible
+        from the fixtures + the in-tree golden vectors): the transcript is
+        bit-exact through every stage (queries/alphas match the golden fold
+        tests in fri/folding.simf:45-62), the true committed first-layer
+        values are recoverable by walking the fold chain backward (they
+        reproduce the golden eval at fri/layers.simf:84 exactly), yet the
+        linear system "first_layer(q) * pair_line_denominator(q) =
+        sum_k w_k * conjugate_line_numerator_k(q)" over the 16 production
+        queries is INCONSISTENT for EVERY choice of per-column weights w_k
+        (rank 15 vs augmented rank 16), every denominator variant
+        (pair-line, its conjugates, norms, point-vanishing y/(1+x)), both
+        query->chunk pairings, and both position conventions.  The fixture
+        prover (a patched stwo) used a stage-VI aggregation that is not any
+        of the published formulas; with 16 openings the system is
+        information-theoretically saturated, so this framework pins stage
+        VI to the reference's *written* semantics instead.  Proofs from
+        this framework's own stwo prover use those semantics and verify
+        fully under 'reference' linkage.
       'unfold' — stage VII starts from values recovered by walking the fold
         chain backward from the last-layer constant (unfold_first_layer),
         which checks every FRI Merkle decommitment and fold against the

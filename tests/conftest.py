@@ -24,6 +24,18 @@ import jax  # noqa: E402
 # config directly before any backend initializes.
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# Fail fast if a pre-initialized backend ignored the config update (e.g. the
+# boot hook already ran a computation on the axon backend): mesh tests need
+# the CPU platform with 8 virtual devices.
+assert jax.devices()[0].platform == os.environ["JAX_PLATFORMS"].split(",")[0], (
+    f"JAX backend is {jax.devices()[0].platform!r}, expected "
+    f"{os.environ['JAX_PLATFORMS']!r}: a backend was initialized before "
+    "conftest could force the test platform"
+)
+assert jax.device_count() >= 8, (
+    f"need >= 8 virtual CPU devices for mesh tests, have {jax.device_count()}"
+)
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
