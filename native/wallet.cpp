@@ -16,9 +16,11 @@
 //     when the budget is short (transaction.rs:44-77 analogue;
 //     cf. stark101/src/padding.simf), or key-path signs with the tweaked
 //     key (transaction.rs:83-113, BIP340 Schnorr).
-//   * network broadcast (esplora.rs / rpc.rs) is stubbed: the bundle is
-//     printed as hex for out-of-band broadcast (this environment has no
-//     egress), matching the boundary documented in SURVEY.md §3.5.
+//   * network broadcast mirrors esplora.rs:4-24 / rpc.rs:9-43:
+//     `--broadcast URL` POSTs the spend bundle to an Esplora-style /tx
+//     endpoint, `--rpc URL` issues a sendrawtransaction JSON-RPC call
+//     (net.hpp; offline-mock-tested in tests/test_wallet.py).  Without a
+//     URL the bundle is printed for out-of-band submission.
 //   * `selftest` — key-derivation and Schnorr test vectors.
 //
 // Exit code 0 = success, 1 = check failed, 2 = usage error.
@@ -31,6 +33,7 @@
 #include <vector>
 
 #include "bech32.hpp"
+#include "net.hpp"
 #include "secp256k1.hpp"
 #include "sha256.hpp"
 
@@ -92,6 +95,9 @@ struct Options {
   std::string program_path;
   std::string witness_path;
   std::string hrp = "tb";
+  std::string broadcast_url;  // Esplora-style base URL (esplora.rs)
+  std::string rpc_url;        // JSON-RPC endpoint (rpc.rs)
+  std::string rpc_auth;       // base64 user:pass for Authorization: Basic
   uint32_t index = 0;
   bool key_path = false;
 };
@@ -172,12 +178,30 @@ static int cmd_spend(const Options& opt) {
   std::printf("script:        %s\n", hex(script.data(), script.size()).c_str());
   std::printf("control block: %s\n",
               hex(control.data(), control.size()).c_str());
-  // stack is printed item-by-item instead of broadcast (no network egress)
   witness.insert(witness.end(), pad, 0);
   Digest wd = sha256_bytes(witness);
   std::printf("witness digest: %s\n", hex(wd.data(), 32).c_str());
-  std::printf("broadcast: stubbed (no egress); submit the four stack items "
-              "above via external tooling\n");
+
+  // serialize the spend bundle: the four witness-stack items, hex, in
+  // stack order (transaction.rs:17-43)
+  std::string bundle = hex(witness.data(), witness.size()) + ":" +
+                       hex(program.data(), program.size()) + ":" +
+                       hex(script.data(), script.size()) + ":" +
+                       hex(control.data(), control.size());
+
+  if (!opt.broadcast_url.empty()) {
+    std::string txid = esplora_broadcast(opt.broadcast_url, bundle);
+    std::printf("broadcast (esplora): txid %s\n", txid.c_str());
+    return 0;
+  }
+  if (!opt.rpc_url.empty()) {
+    std::string txid =
+        rpc_sendrawtransaction(opt.rpc_url, bundle, opt.rpc_auth);
+    std::printf("broadcast (rpc): txid %s\n", txid.c_str());
+    return 0;
+  }
+  std::printf("broadcast: no endpoint given (--broadcast/--rpc); submit the "
+              "four stack items above via external tooling\n");
   return 0;
 }
 
@@ -246,8 +270,9 @@ int main(int argc, char** argv) {
   using namespace symphony;
   if (argc < 2) {
     std::fprintf(stderr,
-                 "usage: symphony-wallet <address|spend|selftest> "
+                 "usage: symphony-wallet <address|spend|fetch|selftest> "
                  "[--mnemonic M] [--index N] [--program F] [--witness F] "
+                 "[--broadcast URL] [--rpc URL] [--rpc-auth B64] "
                  "[--hrp H] [--key-path]\n");
     return 2;
   }
@@ -265,6 +290,9 @@ int main(int argc, char** argv) {
       else if (a == "--program") opt.program_path = next();
       else if (a == "--witness") opt.witness_path = next();
       else if (a == "--hrp") opt.hrp = next();
+      else if (a == "--broadcast") opt.broadcast_url = next();
+      else if (a == "--rpc") opt.rpc_url = next();
+      else if (a == "--rpc-auth") opt.rpc_auth = next();
       else if (a == "--key-path") opt.key_path = true;
       else {
         std::fprintf(stderr, "unknown flag %s\n", a.c_str());

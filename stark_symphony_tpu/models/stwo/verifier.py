@@ -43,6 +43,16 @@ from .config import StwoConfig
 from .constraints import REGISTRY
 
 
+def _per_query(v, n: int):
+    """Insert a broadcast query axis before the trailing coordinate axis:
+    (..., k) -> (..., n, k).  Keeps every helper below polymorphic over an
+    optional leading proof-batch axis, so `verify` runs natively batched
+    (one trace for the whole batch, Pallas kernels see B*Q lanes) as well
+    as under jax.vmap."""
+    v = v[..., None, :]
+    return jnp.broadcast_to(v, v.shape[:-2] + (n,) + v.shape[-1:])
+
+
 def _combine_partitions(p0, p1, p2, p3):
     """p0 + p1*i + p2*j + p3*ij (composition_poly.simf:38-44)."""
     i = jnp.asarray([0, 1, 0, 0], jnp.uint32)
@@ -76,10 +86,11 @@ def deep_denominator_inverse(oods_point, query_points):
     pry, piy = py[..., 0:2], py[..., 2:4]
     x = query_points[..., 0]
     y = query_points[..., 1]
-    dx = F.cm31_sub_m31(jnp.broadcast_to(prx, x.shape + (2,)), x)
-    dy = F.cm31_sub_m31(jnp.broadcast_to(pry, y.shape + (2,)), y)
-    d = F.cm31_sub(F.cm31_mul(dx, jnp.broadcast_to(piy, dx.shape)),
-                   F.cm31_mul(dy, jnp.broadcast_to(pix, dy.shape)))
+    q = query_points.shape[-2]
+    dx = F.cm31_sub_m31(_per_query(prx, q), x)
+    dy = F.cm31_sub_m31(_per_query(pry, q), y)
+    d = F.cm31_sub(F.cm31_mul(dx, _per_query(piy, q)),
+                   F.cm31_mul(dy, _per_query(pix, q)))
     return F.cm31_inv(d)
 
 
@@ -110,6 +121,7 @@ def fri_answers(cfg: StwoConfig, queries, trace_evals, cp_evals, random_coeff,
     denom_inv = deep_denominator_inverse(oods_point, pts)  # (Q, 2)
     py_query = pts[..., 1]  # (Q,)
 
+    nq = queries.shape[-1]
     acc = F.qm31_zero(queries.shape)
     alpha_i = random_coeff
     items = [(oods_trace[..., c, :], trace_evals[..., c]) for c in range(cfg.n_columns)]
@@ -117,17 +129,17 @@ def fri_answers(cfg: StwoConfig, queries, trace_evals, cp_evals, random_coeff,
     for oods_val, vals in items:
         a, b, c = deep_interpolant_coefficients(oods_point, oods_val, alpha_i)
         num = F.qm31_sub(
-            F.qm31_mul_m31(jnp.broadcast_to(b, vals.shape + (4,)), vals),
+            F.qm31_mul_m31(_per_query(b, nq), vals),
             F.qm31_add(
-                F.qm31_mul_m31(jnp.broadcast_to(a, vals.shape + (4,)), py_query),
-                jnp.broadcast_to(c, vals.shape + (4,)),
+                F.qm31_mul_m31(_per_query(a, nq), py_query),
+                _per_query(c, nq),
             ),
         )
         acc = F.qm31_add(acc, num)
         alpha_i = F.qm31_mul(alpha_i, random_coeff)
     batch_coeff = alpha_i
     quotient = F.qm31_mul(
-        F.qm31_mul_cm31(acc, denom_inv), jnp.broadcast_to(batch_coeff, acc.shape)
+        F.qm31_mul_cm31(acc, denom_inv), _per_query(batch_coeff, nq)
     )
     return quotient
 
@@ -143,7 +155,7 @@ def _fold(position, eval0, eval1, log: int, alpha, first: bool):
         inv = F.m31_inv(x)
     f0 = F.qm31_add(eval0, eval1)
     f1 = F.qm31_mul_m31(F.qm31_sub(eval0, eval1), inv)
-    return F.qm31_add(f0, F.qm31_mul(jnp.broadcast_to(alpha, f1.shape), f1))
+    return F.qm31_add(f0, F.qm31_mul(_per_query(alpha, f1.shape[-2]), f1))
 
 
 def _fri_layer(queries, evals, witness, log: int, alpha, first: bool):
@@ -184,7 +196,7 @@ def unfold_first_layer(proof, cfg: StwoConfig, queries, fri_alphas):
         else:
             coord = line_position_to_x(LineDomain(log), rev)
         cinv = F.m31_inv(coord)
-        alpha = jnp.broadcast_to(fri_alphas[l], v_next.shape)
+        alpha = _per_query(fri_alphas[l], v_next.shape[-2])
         t1 = F.qm31_mul_m31(alpha, cinv)
         one = F.qm31_one(v_next.shape[:-1])
         w = proof.fri_witnesses[l]
@@ -203,11 +215,22 @@ def unfold_first_layer(proof, cfg: StwoConfig, queries, fri_alphas):
 
 
 def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
-           linkage: str = "reference", air_id=None):
+           linkage: str = "reference", air_id=None, query_sharding=None):
     """Verify a single stwo proof; returns (ok, diagnostics dict).
 
-    All leaves of `proof` are single-proof arrays (see proof.StwoProof);
-    use `jax.vmap(lambda p: verify(p, cfg)[0])` for a batch.
+    All leaves of `proof` are single-proof arrays (see proof.StwoProof).
+    The function is polymorphic over an optional leading proof-batch axis:
+    pass stacked (B, ...) arrays directly (the fast path — one trace, the
+    SHA/Merkle ops see B*Q lanes and dispatch to the Pallas TPU kernels),
+    or lift with `jax.vmap(lambda p: verify(p, cfg)[0])`.
+
+    query_sharding: None, or a (mesh, batch_axis_name, query_axis_name)
+      tuple — per-query tensors (queries, Merkle leaves/siblings, FRI
+      evaluations) then carry `with_sharding_constraint`s so the XLA SPMD
+      partitioner splits per-query hashing over the query mesh axis (the
+      TP strategy of SURVEY.md §2.4: the reference's 16-query x 20-column
+      grid, fri/answers.simf:97-130).  Use via
+      parallel.batch.verify_batch_gspmd.
 
     air: an AIR name from constraints.REGISTRY, or a tuple of names for
       heterogeneous-AIR (expert-parallel) routing — then `air_id` is a
@@ -231,15 +254,19 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
         linear system "first_layer(q) * pair_line_denominator(q) =
         sum_k w_k * conjugate_line_numerator_k(q)" over the 16 production
         queries is INCONSISTENT for EVERY choice of per-column weights w_k
-        (rank 15 vs augmented rank 16), every denominator variant
-        (pair-line, its conjugates, norms, point-vanishing y/(1+x)), both
-        query->chunk pairings, and both position conventions.  The fixture
-        prover (a patched stwo) used a stage-VI aggregation that is not any
-        of the published formulas; with 16 openings the system is
-        information-theoretically saturated, so this framework pins stage
-        VI to the reference's *written* semantics instead.  Proofs from
-        this framework's own stwo prover use those semantics and verify
-        fully under 'reference' linkage.
+        — augmenting the system with the committed first-layer vector
+        raises its rank (measured: 11 -> 12), so the vector lies outside
+        the numerator span.  EXECUTABLE EVIDENCE: `python -m
+        stark_symphony_tpu.tools.linkage_audit` rebuilds the system from
+        tests/fixtures/stwo/proof.json in exact QM31 arithmetic and prints
+        the verdict (asserted by tests/test_linkage.py, with the in-tree
+        prover as positive control — its proofs make the system
+        consistent).  The fixture prover (a patched stwo) used a stage-VI
+        aggregation that is not any of the published formulas; this
+        framework pins stage VI to the reference's *written* semantics
+        instead.  Proofs from this framework's own stwo prover use those
+        semantics and verify fully under 'reference' linkage — that is
+        what bench.py and __graft_entry__.entry() measure.
       'unfold' — stage VII starts from values recovered by walking the fold
         chain backward from the last-layer constant (unfold_first_layer),
         which checks every FRI Merkle decommitment and fold against the
@@ -254,6 +281,22 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
         )
     else:
         eval_cp = REGISTRY[air]
+
+    def _cq(x, q_axis_from_end: int):
+        """Query-axis sharding constraint (no-op without query_sharding)."""
+        if query_sharding is None:
+            return x
+        mesh, b_ax, q_ax = query_sharding
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = [None] * x.ndim
+        if b_ax is not None and x.ndim > q_axis_from_end:
+            spec[0] = b_ax
+        spec[x.ndim - q_axis_from_end] = q_ax
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(*spec))
+        )
+
     masks = {}
 
     # Stage I: commitments (evals/commit.simf:20-35)
@@ -308,11 +351,12 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
     # Stage V: queries + evaluation decommitments (evals/verify.simf:111-123)
     # trace + CP paths share depth: one batched walk over 2Q paths.
     state, queries = ch.draw_queries(state, cfg.n_queries, cfg.lde_log_size)
+    queries = _cq(queries, 1)
     trace_leaf = sha256_words(proof.trace_evals)  # (Q, 8)
     cp_leaf = sha256_words(proof.cp_evals)
     q_ax = -2
-    leaves = jnp.concatenate([trace_leaf, cp_leaf], axis=q_ax)
-    sibs = jnp.concatenate([proof.trace_sibs, proof.cp_sibs], axis=-3)
+    leaves = _cq(jnp.concatenate([trace_leaf, cp_leaf], axis=q_ax), 2)
+    sibs = _cq(jnp.concatenate([proof.trace_sibs, proof.cp_sibs], axis=-3), 3)
     roots = jnp.concatenate(
         [
             jnp.broadcast_to(
@@ -339,6 +383,7 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
     fri_start = answers
     if linkage == "unfold":
         fri_start = unfold_first_layer(proof, cfg, queries, fri_alphas)
+    fri_start = _cq(fri_start, 2)
 
     # Stage VII: FRI (fri/verify.simf:114-129).  Folds run sequentially;
     # all layers' node Merkle paths verify in one padded batched walk.
@@ -367,9 +412,9 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
         m_depths.extend([depth] * cfg.n_queries)
         log -= 1
     ok_paths = merkle.verify_path_padded(
-        jnp.concatenate(m_nodes, axis=-2),
-        jnp.concatenate(m_idx, axis=-1),
-        jnp.concatenate(m_sibs, axis=-3),
+        _cq(jnp.concatenate(m_nodes, axis=-2), 2),
+        _cq(jnp.concatenate(m_idx, axis=-1), 1),
+        _cq(jnp.concatenate(m_sibs, axis=-3), 3),
         jnp.concatenate(m_roots, axis=-2),
         np.array(m_depths),
     )
@@ -390,9 +435,18 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
 
 
 def verify_batch(proof_batch, cfg: StwoConfig, air: str = "wide_fibonacci",
-                 linkage: str = "reference"):
-    """vmap over the leading proof axis; returns the accept bitmap (B,)."""
-    return jax.vmap(lambda p: verify(p, cfg, air, linkage)[0])(proof_batch)
+                 linkage: str = "reference", use_vmap: bool = False):
+    """Verify a stacked proof batch; returns the accept bitmap (B,).
+
+    Default is the natively-batched path: `verify` is traced once over the
+    full (B, ...) arrays, so the SHA-256/Merkle ops see B*Q flattened lanes
+    and dispatch to the Pallas TPU kernels (ops/pallas/sha256_kernel.py).
+    `use_vmap=True` keeps the per-proof trace lifted by jax.vmap — same
+    results (tested), needed only for the routed-AIR (expert) path.
+    """
+    if use_vmap:
+        return jax.vmap(lambda p: verify(p, cfg, air, linkage)[0])(proof_batch)
+    return verify(proof_batch, cfg, air, linkage)[0]
 
 
 # Shared jitted entry point: traces once per (cfg, air, linkage) per process.

@@ -21,7 +21,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sha256 import sha256_pair
+from .sha256 import sha256_pair, use_pallas
+
+
+def _path_lanes(leaf_digest, index) -> int:
+    return int(
+        np.prod(
+            jnp.broadcast_shapes(leaf_digest.shape[:-1], jnp.shape(index))
+        )
+    )
 
 
 def verify_path(leaf_digest, index, siblings, root):
@@ -45,8 +53,13 @@ def compute_root(leaf_digest, index, siblings):
 
     Implemented as a `lax.scan` over the depth axis so the SHA-256
     compression body appears once per call site in the traced graph
-    (compile-time, not correctness, concern).
+    (compile-time, not correctness, concern).  Large batches dispatch to
+    the fused Pallas path-walk kernel on TPU.
     """
+    if use_pallas(_path_lanes(leaf_digest, index)):
+        from .pallas import sha256_kernel as _pk
+
+        return _pk.merkle_compute_root(leaf_digest, index, siblings)
     idx = jnp.asarray(index, jnp.uint32)
     leaf_digest, idx = jnp.broadcast_arrays(leaf_digest, idx[..., None])
     idx = idx[..., 0]
@@ -74,8 +87,16 @@ def verify_path_padded(leaf_digest, index, siblings, root, depths):
 
     One scan over D levels; levels beyond a path's depth leave its digest
     unchanged.  This collapses many differently-shaped Merkle checks into a
-    single compression-function call site (compile-time win).
+    single compression-function call site (compile-time win).  Large
+    batches dispatch to the fused Pallas path-walk kernel on TPU.
     """
+    if use_pallas(_path_lanes(leaf_digest, index)):
+        from .pallas import sha256_kernel as _pk
+
+        recomputed = _pk.merkle_compute_root(
+            leaf_digest, index, siblings, depths=np.asarray(depths, np.uint32)
+        )
+        return jnp.all(recomputed == root, axis=-1)
     idx = jnp.asarray(index, jnp.uint32)
     leaf_digest, idx = jnp.broadcast_arrays(leaf_digest, idx[..., None])
     idx = idx[..., 0]

@@ -23,12 +23,60 @@ Two compression paths:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .u32 import U32, rotr
+
+# Minimum flattened-batch size for Pallas dispatch: one full lane tile.
+# Below this the transpose/pad overhead outweighs the kernel win (and the
+# per-proof shapes seen inside jax.vmap stay on the lax path by design —
+# the batched entry points flatten to B*Q lanes and dispatch here).
+PALLAS_MIN_LANES = 1024
+
+# Trace-time suppression (see pallas_disabled): GSPMD-partitioned paths
+# (parallel/batch.py verify_batch_gspmd) must not contain pallas_call ops —
+# the SPMD partitioner cannot split them; manual (shard_map) paths compose
+# fine and keep the kernels.
+_PALLAS_SUPPRESSED = 0
+
+
+def pallas_disabled():
+    """Context manager: force the lax path while tracing inside it."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        global _PALLAS_SUPPRESSED
+        _PALLAS_SUPPRESSED += 1
+        try:
+            yield
+        finally:
+            _PALLAS_SUPPRESSED -= 1
+
+    return _cm()
+
+
+def use_pallas(n_lanes: int) -> bool:
+    """Route to the Pallas TPU kernels? (trace-time decision).
+
+    STPU_PALLAS=1 forces on (interpreter mode off-TPU — used by the
+    equivalence tests), =0 forces off; default: real TPU backend and a
+    batch large enough to fill the lane tiles.
+    """
+    if _PALLAS_SUPPRESSED:
+        return False
+    env = os.environ.get("STPU_PALLAS", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    from .pallas import sha256_kernel as _pk
+
+    return _pk._is_tpu_like() and n_lanes >= PALLAS_MIN_LANES
 
 K = np.array([
     0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B, 0x59F111F1,
@@ -93,7 +141,13 @@ def compress(state, block):
     traced graph.
     """
     k = jnp.asarray(K)
-    vs = tuple(state[..., i] for i in range(8))
+    # When `state` is a host constant (the IV) but `block` is
+    # device-varying (e.g. under shard_map), the loop carry must already
+    # have block's type (varying manual axes) on entry or scan/fori carry
+    # typing fails.  OR-ing a varying zero joins the vma without changing
+    # values (XLA folds the op away).
+    anchor = block[..., 0] & U32(0)
+    vs = tuple(state[..., i] | anchor for i in range(8))
 
     def body16(t, c):
         vs = c
@@ -178,8 +232,14 @@ def sha256_words(words):
     """SHA-256 of a big-endian u32 word array (..., n) with static n.
 
     Matches `sha_256_ctx_8_init / add / finalize` on the same 4n bytes.
+    Dispatches to the Pallas TPU kernel for large batches.
     """
     n = words.shape[-1]
+    n_lanes = int(np.prod(words.shape[:-1])) if words.ndim > 1 else 1
+    if use_pallas(n_lanes):
+        from .pallas import sha256_kernel as _pk
+
+        return _pk.sha256_words(words)
     pad, n_blocks = _padding_words(n)
     const_sched = _const_pad_block_schedule(n)
     state = iv(words.shape[:-1])
@@ -203,6 +263,13 @@ def sha256_pair(left, right):
 
     left/right: (..., 8) u32 arrays.
     """
+    n_lanes = int(
+        np.prod(jnp.broadcast_shapes(left.shape[:-1], right.shape[:-1]))
+    )
+    if use_pallas(n_lanes):
+        from .pallas import sha256_kernel as _pk
+
+        return _pk.sha256_pair(left, right)
     state = iv(left.shape[:-1])
     state = compress(state, jnp.concatenate([left, right], axis=-1))
     return compress_const_schedule(state, _const_pad_block_schedule(16))

@@ -46,6 +46,36 @@ import pytest  # noqa: E402
 FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: PRODUCTION-size proving/verifying (minutes of CPU compile); "
+        "deselect with -m 'not slow'",
+    )
+
+
 @pytest.fixture(scope="session")
 def fixtures_dir() -> pathlib.Path:
     return FIXTURES
+
+
+@pytest.fixture(scope="session")
+def own_testing_proof():
+    """One TESTING-size proof from the in-tree stwo prover (verifies under
+    full 'reference' linkage, unlike the external fixtures)."""
+    from stark_symphony_tpu.models.stwo import prover
+    from stark_symphony_tpu.models.stwo.config import TESTING
+
+    proof, _ = prover.prove(TESTING)
+    return proof, TESTING
+
+
+@pytest.fixture(scope="session")
+def production_proof():
+    """One PRODUCTION-size proof from the in-tree stwo prover (shared by
+    the slow tests so the prover compiles once per session)."""
+    from stark_symphony_tpu.models.stwo import prover
+    from stark_symphony_tpu.models.stwo.config import PRODUCTION
+
+    proof, _ = prover.prove(PRODUCTION)
+    return proof, PRODUCTION

@@ -47,10 +47,76 @@ def test_sharded_fold_matches_reference():
     np.testing.assert_array_equal(np.asarray(got_x), np.asarray(want_x))
 
 
+def _rand_qm31(shape, seed):
+    from stark_symphony_tpu.ops.field import P as M31P
+
+    return np.random.default_rng(seed).integers(
+        0, M31P, size=shape + (4,), dtype=np.uint32
+    )
+
+
+def test_stwo_fold_sharded_matches_tables():
+    """Sharded stwo circle+line folds == the in-lane twiddle-table fold
+    (the prover's step-7 loop) bit-exactly on the 8-device mesh."""
+    from stark_symphony_tpu.ops import field as F
+    from stark_symphony_tpu.ops.circle_fft import twiddles
+    from stark_symphony_tpu.parallel.fri_shard import (
+        stwo_fold_reference,
+        stwo_fold_sharded,
+        stwo_domain_points,
+    )
+
+    lde_log, n_stages = 8, 3
+    n = 1 << lde_log
+    values = jnp.asarray(_rand_qm31((n,), 3))
+    alphas = [jnp.asarray(_rand_qm31((), 10 + s)) for s in range(n_stages)]
+
+    # oracle 1: the prover's twiddle-table fold
+    _, lvls_inv = twiddles(lde_log)
+    cur = values
+    for layer in range(n_stages):
+        half = cur.shape[0] // 2
+        tw_inv = jnp.asarray(lvls_inv[layer][:half])
+        f0 = F.qm31_add(cur[:half], cur[half:])
+        f1 = F.qm31_mul_m31(F.qm31_sub(cur[:half], cur[half:]), tw_inv)
+        cur = F.qm31_add(
+            f0, F.qm31_mul(jnp.broadcast_to(alphas[layer], f1.shape), f1)
+        )
+    want = np.asarray(cur)
+
+    # oracle 2: the single-device point-payload fold
+    ref = np.asarray(
+        stwo_fold_reference(
+            values, stwo_domain_points(lde_log), alphas, n_stages
+        )
+    )
+    np.testing.assert_array_equal(ref, want)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("sp",))
+    got = np.asarray(
+        stwo_fold_sharded(values, alphas, lde_log, mesh, n_stages)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stwo_commit_sharded_matches_tree():
+    """Sharded layer commitment (ppermute tree in natural-index space)
+    == the prover's bit-reversed-leaf Merkle root."""
+    from stark_symphony_tpu.models.stwo.prover import _commit_leaves
+    from stark_symphony_tpu.parallel.fri_shard import stwo_commit_sharded
+
+    lde_log = 7
+    n = 1 << lde_log
+    values = jnp.asarray(_rand_qm31((n,), 4))  # (N, 4) leaf words
+    _, want_root = _commit_leaves(values, lde_log)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("sp",))
+    got_root = stwo_commit_sharded(values, mesh)
+    np.testing.assert_array_equal(np.asarray(got_root), np.asarray(want_root))
+
+
 @pytest.fixture(scope="module")
-def fib_proof():
-    proof, _ = stwo_prover.prove(CFG)
-    return proof
+def fib_proof(own_testing_proof):
+    return own_testing_proof[0]
 
 
 @pytest.fixture(scope="module")
@@ -103,5 +169,30 @@ def test_routed_batch_sharded(fib_proof, product_proof):
     batch = stwo_proof.stack([fib_proof, product_proof] * 4)
     air_ids = np.array([0, 1] * 4, np.int32)
     bitmap, n_ok = verify_batch_routed_sharded(batch, air_ids, CFG, mesh)
+    assert np.asarray(bitmap).all()
+    assert int(n_ok) == 8
+
+
+def test_verify_batch_dp(fib_proof):
+    """shard_map DP path: full 'reference' linkage, psum'd accept count,
+    tampered lane survives locally (mask, not abort)."""
+    from stark_symphony_tpu.parallel.batch import verify_batch_dp
+
+    mesh = make_mesh(8, tp=1)
+    batch = stwo_proof.replicate(fib_proof, 16)
+    batch.cp_evals[3, 0, 0] ^= 1
+    bitmap, n_ok = verify_batch_dp(batch, CFG, mesh, linkage="reference")
+    bitmap = np.asarray(bitmap)
+    assert not bitmap[3] and bitmap.sum() == 15
+    assert int(np.asarray(n_ok).reshape(-1)[0]) == 15
+
+
+def test_verify_batch_gspmd_tp(fib_proof):
+    """GSPMD DP+TP path: per-query sharding constraints over 'tp'."""
+    from stark_symphony_tpu.parallel.batch import verify_batch_gspmd
+
+    mesh = make_mesh(8, tp=2)
+    batch = stwo_proof.replicate(fib_proof, 8)
+    bitmap, n_ok = verify_batch_gspmd(batch, CFG, mesh, linkage="reference")
     assert np.asarray(bitmap).all()
     assert int(n_ok) == 8

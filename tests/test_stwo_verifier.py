@@ -57,7 +57,10 @@ def _split_masks(masks):
     return transcript, linkage
 
 
-@pytest.mark.parametrize("which", ["test", "prod"])
+WHICH = ["test", pytest.param("prod", marks=pytest.mark.slow)]
+
+
+@pytest.mark.parametrize("which", WHICH)
 def test_fixture_transcript_and_chain(which, test_proof, prod_proof):
     proof, cfg = test_proof if which == "test" else prod_proof
     ok, masks = verifier.verify_jit(proof, cfg, "wide_fibonacci", "unfold")
@@ -65,7 +68,7 @@ def test_fixture_transcript_and_chain(which, test_proof, prod_proof):
     assert bool(ok), f"failed masks: {failed}"
 
 
-@pytest.mark.parametrize("which", ["test", "prod"])
+@pytest.mark.parametrize("which", WHICH)
 def test_fixture_reference_linkage_divergence_is_confined(
     which, test_proof, prod_proof
 ):
@@ -79,27 +82,57 @@ def test_fixture_reference_linkage_divergence_is_confined(
     assert not failed_transcript, failed_transcript
 
 
-def _tamper(proof, field, mutate):
+def _tamper(proof, field, mutate, tuple_idx=None):
     d = proof._asdict()
-    d[field] = mutate(np.array(d[field]))
+    if tuple_idx is None:
+        d[field] = mutate(np.array(d[field]))
+    else:
+        t = list(d[field])
+        t[tuple_idx] = mutate(np.array(t[tuple_idx]))
+        d[field] = tuple(t)
     return P.StwoProof(**d)
 
 
-@pytest.mark.parametrize(
-    "field,mutate",
-    [
-        ("trace_evals", lambda a: a + np.uint32(1)),
-        ("cp_evals", lambda a: a ^ np.uint32(1)),
-        ("oods_cp", lambda a: a ^ np.uint32(2)),
-        ("fri_last", lambda a: a ^ np.uint32(1)),
-        ("pow_nonce", lambda a: a + np.uint32(1)),
-        ("commitments", lambda a: a ^ np.uint32(1)),
-    ],
-)
-def test_tampered_proof_rejected(test_proof, field, mutate):
+# Every proof field class has a rejection case (tamper => abort in the
+# reference; tamper => mask False here).
+TAMPERS = [
+    ("trace_evals", lambda a: a + np.uint32(1), None),
+    ("trace_sibs", lambda a: a ^ np.uint32(1), None),
+    ("cp_evals", lambda a: a ^ np.uint32(1), None),
+    ("cp_sibs", lambda a: a ^ np.uint32(4), None),
+    ("oods_trace", lambda a: a ^ np.uint32(1), None),
+    ("oods_cp", lambda a: a ^ np.uint32(2), None),
+    ("fri_first_commit", lambda a: a ^ np.uint32(1), None),
+    ("fri_inner_commits", lambda a: a ^ np.uint32(1), None),
+    ("fri_last", lambda a: a ^ np.uint32(1), None),
+    ("fri_witnesses", lambda a: a ^ np.uint32(1), 0),
+    ("fri_witnesses", lambda a: a + np.uint32(1), 1),
+    ("fri_sibs", lambda a: a ^ np.uint32(1), 0),
+    ("fri_sibs", lambda a: a ^ np.uint32(2), 2),
+    ("pow_nonce", lambda a: a + np.uint32(1), None),
+    ("commitments", lambda a: a ^ np.uint32(1), None),
+]
+
+
+@pytest.mark.parametrize("field,mutate,tuple_idx", TAMPERS)
+def test_tampered_proof_rejected(test_proof, field, mutate, tuple_idx):
     proof, cfg = test_proof
-    bad = _tamper(proof, field, mutate)
+    bad = _tamper(proof, field, mutate, tuple_idx)
     ok, _ = verifier.verify_jit(bad, cfg, "wide_fibonacci", "unfold")
+    assert not bool(ok)
+
+
+@pytest.mark.parametrize("field,mutate,tuple_idx", TAMPERS)
+def test_tampered_proof_rejected_reference_linkage(
+    own_testing_proof, field, mutate, tuple_idx
+):
+    """Same tamper matrix under the FULL stage-VI linkage, on a proof from
+    the in-tree prover (external fixtures never pass 'reference')."""
+    proof, cfg = own_testing_proof
+    ok0, masks0 = verifier.verify_jit(proof, cfg, "wide_fibonacci", "reference")
+    assert bool(ok0), [k for k, v in masks0.items() if not np.asarray(v).all()]
+    bad = _tamper(proof, field, mutate, tuple_idx)
+    ok, _ = verifier.verify_jit(bad, cfg, "wide_fibonacci", "reference")
     assert not bool(ok)
 
 

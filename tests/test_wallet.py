@@ -67,3 +67,96 @@ def test_wallet_keypath_sign(wallet, fixtures_dir):
     assert "keypath signature: " in out.stdout
     sig = out.stdout.split("keypath signature: ")[1].strip()
     assert len(sig) == 128
+
+
+class _MockChain:
+    """Tiny localhost HTTP server standing in for Esplora / the Elements
+    JSON-RPC node (the reference's network boundary, esplora.rs/rpc.rs)."""
+
+    def __init__(self):
+        import http.server
+        import threading
+
+        self.posts = []
+        mock = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode()
+                mock.posts.append((self.path, body))
+                self.send_response(200)
+                self.end_headers()
+                if self.path == "/tx":  # esplora: respond with txid
+                    self.wfile.write(b"deadbeef" * 8)
+                else:  # json-rpc
+                    self.wfile.write(
+                        b'{"result":"cafebabe","error":null,"id":"symphony"}'
+                    )
+
+            def do_GET(self):
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b'{"txid":"ab","status":{"confirmed":true}}')
+
+            def log_message(self, *a):
+                pass
+
+        self.srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+        self.port = self.srv.server_port
+        self.thread = threading.Thread(target=self.srv.serve_forever,
+                                       daemon=True)
+        self.thread.start()
+
+    def close(self):
+        self.srv.shutdown()
+
+
+def test_wallet_broadcast_esplora_mock(wallet, fixtures_dir, tmp_path):
+    """spend --broadcast hits the Esplora-style /tx endpoint with the
+    4-item bundle and reports the returned txid (esplora.rs analogue)."""
+    mock = _MockChain()
+    try:
+        wit = tmp_path / "w.bin"
+        wit.write_bytes(b"\x01\x02\x03\x04" * 64)
+        out = subprocess.run(
+            [wallet, "spend", "--mnemonic", MNEMONIC,
+             "--program", str(fixtures_dir / "stwo" / "proof_test.json"),
+             "--witness", str(wit),
+             "--broadcast", f"http://127.0.0.1:{mock.port}"],
+            capture_output=True, text=True)
+        assert out.returncode == 0, out.stdout + out.stderr
+        assert "broadcast (esplora): txid " + "deadbeef" * 8 in out.stdout
+        assert len(mock.posts) == 1
+        path, body = mock.posts[0]
+        assert path == "/tx"
+        # bundle = witness:program:script:control, all hex
+        parts = body.split(":")
+        assert len(parts) == 4
+        assert parts[0].startswith("01020304")
+        assert len(parts[2]) == 64  # script = 32-byte program commitment
+        assert len(parts[3]) == 66  # control = leaf-version byte + 32-byte key
+    finally:
+        mock.close()
+
+
+def test_wallet_broadcast_rpc_mock(wallet, fixtures_dir, tmp_path):
+    """spend --rpc issues sendrawtransaction and surfaces the result
+    (rpc.rs analogue)."""
+    mock = _MockChain()
+    try:
+        wit = tmp_path / "w.bin"
+        wit.write_bytes(b"\xaa" * 16)
+        out = subprocess.run(
+            [wallet, "spend", "--mnemonic", MNEMONIC,
+             "--program", str(fixtures_dir / "stwo" / "proof_test.json"),
+             "--witness", str(wit),
+             "--rpc", f"http://127.0.0.1:{mock.port}/",
+             "--rpc-auth", "dXNlcjpwYXNz"],
+            capture_output=True, text=True)
+        assert out.returncode == 0, out.stdout + out.stderr
+        assert "broadcast (rpc): txid cafebabe" in out.stdout
+        path, body = mock.posts[0]
+        assert '"method":"sendrawtransaction"' in body
+    finally:
+        mock.close()
