@@ -150,6 +150,32 @@ def parse(data: dict) -> Tuple[StwoProof, StwoConfig]:
     return proof, cfg
 
 
+def save_npz(path: str, proof: StwoProof) -> None:
+    """Serialize a proof to .npz (tuple fields become indexed keys)."""
+    arrays = {}
+    for name, val in proof._asdict().items():
+        if isinstance(val, tuple):
+            arrays[f"{name}__n"] = np.array(len(val))
+            for i, a in enumerate(val):
+                arrays[f"{name}__{i}"] = np.asarray(a)
+        else:
+            arrays[name] = np.asarray(val)
+    np.savez(path, **arrays)
+
+
+def load_npz(path: str) -> StwoProof:
+    """Inverse of save_npz."""
+    data = np.load(path)
+    kwargs = {}
+    for name in StwoProof._fields:
+        if f"{name}__n" in data:
+            n = int(data[f"{name}__n"])
+            kwargs[name] = tuple(data[f"{name}__{i}"] for i in range(n))
+        else:
+            kwargs[name] = data[name]
+    return StwoProof(**kwargs)
+
+
 def stack(proofs) -> StwoProof:
     """Stack N structurally-identical proofs into a batch (leading axis)."""
     import jax

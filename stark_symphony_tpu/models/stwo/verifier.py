@@ -30,9 +30,7 @@ from ...ops import field as F
 from ...ops import merkle
 from ...ops.circle import (
     CircleDomain,
-    LineDomain,
     circle_position_to_point,
-    line_position_to_x,
     qm31_point_x,
     qm31_point_y,
 )
@@ -107,17 +105,81 @@ def deep_interpolant_coefficients(oods_point, sample_value, alpha_i):
     return F.qm31_mul(alpha_i, a), F.qm31_mul(alpha_i, b), F.qm31_mul(alpha_i, c)
 
 
+def query_points(cfg: StwoConfig, queries):
+    """The LDE-domain circle points at the (bit-reversed) query positions.
+
+    One 31-step scalar multiplication per lane — computed ONCE per
+    verification and shared between stage VI (DEEP quotients) and stage
+    VII (FRI fold coordinates, see `fri_fold_coords`)."""
+    domain = CircleDomain(cfg.lde_log_size)
+    positions = bit_reverse(queries, cfg.lde_log_size)
+    return circle_position_to_point(domain, positions)  # (Q, 2)
+
+
+def fri_fold_coords(cfg: StwoConfig, queries, pts):
+    """Per-layer FRI fold coordinates [c_0, ..., c_{L-1}] from the single
+    layer-0 query point — no further scalar multiplications.
+
+    The reference recomputes a 31-step index->point scalar mul per layer
+    (fri/folding.simf:15-41 via circle_domain/line_domain position maps);
+    on TPU lanes that is the dominant field-op cost, and it is redundant:
+
+    * layer 0 (circle fold) divides by y at the even position
+      q & ~1 — the point at bit_reverse(q, log) is the SAME point up to
+      y-negation when q is odd (x(-p) = x(p), y(-p) = -y(p));
+    * layer 1's line x-coordinate at bit_reverse((q>>1), log-1) IS x of
+      that layer-0 point, and each halving maps x -> pi(x) = 2x^2 - 1
+      (the circle doubling map projected to x);
+    * the masked even-position coordinate flips sign exactly when bit l
+      of q is set.
+
+    All three identities are verified bit-exactly against the position-map
+    path (tests/test_stwo_verifier.py::test_fold_coords_match_position_map).
+    """
+    x = pts[..., 0]
+    y = pts[..., 1]
+    odd0 = (queries & jnp.uint32(1)) == 1
+    coords = [jnp.where(odd0, F.m31_neg(y), y)]
+    u = x
+    one = jnp.ones_like(x)
+    for l in range(1, 1 + cfg.n_inner_layers):
+        bit = ((queries >> l) & jnp.uint32(1)) == 1
+        coords.append(jnp.where(bit, F.m31_neg(u), u))
+        u2 = F.m31_sqr(u)
+        u = F.m31_sub(F.m31_add(u2, u2), one)  # pi(u) = 2u^2 - 1
+    return coords
+
+
+def batch_inv_m31(xs):
+    """Montgomery batch inversion over a list of same-shape M31 arrays:
+    one addition-chain inverse + 3(n-1) multiplications instead of n
+    inverses (37 mults each).  Preserves the framework's inv(0) = 0
+    convention per element."""
+    ones = jnp.ones_like(xs[0])
+    safe = [jnp.where(x == 0, ones, x) for x in xs]
+    prefix = [safe[0]]
+    for x in safe[1:]:
+        prefix.append(F.m31_mul(prefix[-1], x))
+    inv_run = F.m31_inv(prefix[-1])
+    invs = [None] * len(xs)
+    for i in range(len(xs) - 1, 0, -1):
+        invs[i] = F.m31_mul(inv_run, prefix[i - 1])
+        inv_run = F.m31_mul(inv_run, safe[i])
+    invs[0] = inv_run
+    return [jnp.where(x == 0, jnp.zeros_like(inv), inv)
+            for x, inv in zip(xs, invs)]
+
+
 def fri_answers(cfg: StwoConfig, queries, trace_evals, cp_evals, random_coeff,
-                oods_point, oods_trace, oods_cp):
+                oods_point, oods_trace, oods_cp, pts=None):
     """DEEP quotient aggregation per query (fri/answers.simf:97-154).
 
     queries: (Q,); trace_evals: (Q, C); cp_evals: (Q, 16).
+    pts: optional precomputed `query_points` (shared with stage VII).
     Returns (Q, 4) QM31 quotients.
     """
-    log = cfg.lde_log_size
-    domain = CircleDomain(log)
-    positions = bit_reverse(queries, log)
-    pts = circle_position_to_point(domain, positions)  # (Q, 2)
+    if pts is None:
+        pts = query_points(cfg, queries)
     denom_inv = deep_denominator_inverse(oods_point, pts)  # (Q, 2)
     py_query = pts[..., 1]  # (Q,)
 
@@ -144,21 +206,15 @@ def fri_answers(cfg: StwoConfig, queries, trace_evals, cp_evals, random_coeff,
     return quotient
 
 
-def _fold(position, eval0, eval1, log: int, alpha, first: bool):
-    """Circle fold (first layer) / line fold (inner) — fri/folding.simf."""
-    rev = bit_reverse(position, log)
-    if first:
-        y = circle_position_to_point(CircleDomain(log), rev)[..., 1]
-        inv = F.m31_inv(y)
-    else:
-        x = line_position_to_x(LineDomain(log), rev)
-        inv = F.m31_inv(x)
+def _fold(eval0, eval1, coord_inv, alpha):
+    """Circle/line fold (fri/folding.simf:15-41) against a precomputed
+    1/coordinate (from `fri_fold_coords` + `batch_inv_m31`)."""
     f0 = F.qm31_add(eval0, eval1)
-    f1 = F.qm31_mul_m31(F.qm31_sub(eval0, eval1), inv)
+    f1 = F.qm31_mul_m31(F.qm31_sub(eval0, eval1), coord_inv)
     return F.qm31_add(f0, F.qm31_mul(_per_query(alpha, f1.shape[-2]), f1))
 
 
-def _fri_layer(queries, evals, witness, log: int, alpha, first: bool):
+def _fri_layer(queries, evals, witness, coord_inv, alpha):
     """Fold one FRI layer for all queries; return (folded_queries, folded,
     node_digest) — the Merkle check of `node_digest` against the layer root
     is batched across layers by the caller (fri/layers.simf:29-69)."""
@@ -169,7 +225,7 @@ def _fri_layer(queries, evals, witness, log: int, alpha, first: bool):
     leaf0 = sha256_words(eval0)
     leaf1 = sha256_words(eval1)
     node = sha256_pair(leaf0, leaf1)
-    folded = _fold(position, eval0, eval1, log, alpha, first)
+    folded = _fold(eval0, eval1, coord_inv, alpha)
     return position >> 1, folded, node
 
 
@@ -186,16 +242,11 @@ def unfold_first_layer(proof, cfg: StwoConfig, queries, fri_alphas):
     last = jnp.broadcast_to(proof.fri_last[..., None, :], queries.shape + (4,))
     v_next = last
     n_layers = 1 + cfg.n_inner_layers
+    coords = fri_fold_coords(cfg, queries, query_points(cfg, queries))
+    coord_invs = batch_inv_m31(coords)
     for l in reversed(range(n_layers)):
-        log = cfg.lde_log_size - l
         q_l = queries >> l
-        position = q_l & jnp.uint32(0xFFFFFFFE)
-        rev = bit_reverse(position, log)
-        if l == 0:
-            coord = circle_position_to_point(CircleDomain(log), rev)[..., 1]
-        else:
-            coord = line_position_to_x(LineDomain(log), rev)
-        cinv = F.m31_inv(coord)
+        cinv = coord_invs[l]
         alpha = _per_query(fri_alphas[l], v_next.shape[-2])
         t1 = F.qm31_mul_m31(alpha, cinv)
         one = F.qm31_one(v_next.shape[:-1])
@@ -374,10 +425,13 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
     masks["trace_merkle"] = jnp.all(both[..., : cfg.n_queries], axis=-1)
     masks["cp_merkle"] = jnp.all(both[..., cfg.n_queries :], axis=-1)
 
-    # Stage VI: DEEP quotients (fri/answers.simf)
+    # Stage VI: DEEP quotients (fri/answers.simf).  The query points are
+    # computed once (one 31-step scalar mul) and shared with stage VII's
+    # fold coordinates (see fri_fold_coords).
+    pts = query_points(cfg, queries)
     answers = fri_answers(
         cfg, queries, proof.trace_evals, proof.cp_evals, deep_alpha,
-        oods_point, proof.oods_trace, proof.oods_cp,
+        oods_point, proof.oods_trace, proof.oods_cp, pts=pts,
     )
 
     fri_start = answers
@@ -386,9 +440,12 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
     fri_start = _cq(fri_start, 2)
 
     # Stage VII: FRI (fri/verify.simf:114-129).  Folds run sequentially;
-    # all layers' node Merkle paths verify in one padded batched walk.
+    # fold coordinates come from the shared query points via the pi
+    # doubling map (fri_fold_coords) with one batched inversion across
+    # all layers; all layers' node Merkle paths verify in one padded
+    # batched walk.
     cur_q, cur_e = queries, fri_start
-    log = cfg.lde_log_size
+    coord_invs = batch_inv_m31(fri_fold_coords(cfg, queries, pts))
     roots = [proof.fri_first_commit] + [
         proof.fri_inner_commits[..., i, :] for i in range(cfg.n_inner_layers)
     ]
@@ -398,7 +455,7 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
         node_idx = (cur_q & jnp.uint32(0xFFFFFFFE)) >> 1
         cur_q, cur_e, node = _fri_layer(
             cur_q, cur_e, proof.fri_witnesses[l],
-            log, fri_alphas[l], first=(l == 0),
+            coord_invs[l], fri_alphas[l],
         )
         depth = cfg.fri_layer_depth(l)
         sib = proof.fri_sibs[l]
@@ -410,7 +467,6 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
         m_sibs.append(sib)
         m_roots.append(jnp.broadcast_to(root[..., None, :], node.shape))
         m_depths.extend([depth] * cfg.n_queries)
-        log -= 1
     ok_paths = merkle.verify_path_padded(
         _cq(jnp.concatenate(m_nodes, axis=-2), 2),
         _cq(jnp.concatenate(m_idx, axis=-1), 1),

@@ -47,6 +47,11 @@ def m31_reduce(x):
 
 
 def m31_add(a, b):
+    from .checks import check_lt, enabled as _chk
+
+    if _chk():  # STPU_CHECK=1: assert canonical inputs (ops/checks.py)
+        check_lt(a, P, "m31_add lhs")
+        check_lt(b, P, "m31_add rhs")
     s = _u(a) + _u(b)  # < 2^32, no wrap for canonical inputs
     return m31_reduce(s)
 
@@ -67,6 +72,11 @@ def m31_sub(a, b):
 
 def m31_mul(a, b):
     """a * b mod p via 62-bit product folded twice (2^31 ≡ 1 mod p)."""
+    from .checks import check_lt, enabled as _chk
+
+    if _chk():
+        check_lt(a, P, "m31_mul lhs")
+        check_lt(b, P, "m31_mul rhs")
     hi, lo = mul32_wide(a, b)
     low31 = lo & P32
     high = (hi << 1) | (lo >> 31)  # product >> 31, fits uint32

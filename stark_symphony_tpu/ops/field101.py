@@ -73,6 +73,11 @@ def f_mul(a, b):
 
 
 def f_add(a, b):
+    from .checks import check_lt, enabled as _chk
+
+    if _chk():  # STPU_CHECK=1: assert canonical inputs (ops/checks.py)
+        check_lt(a, Q, "f_add lhs")
+        check_lt(b, Q, "f_add rhs")
     a = _u(a)
     b = _u(b)
     s = a + b  # may wrap: a + b < 2q < 2^33

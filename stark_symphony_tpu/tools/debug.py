@@ -23,21 +23,47 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np
 
-from ..utils.trace import format_transcript, record_transcript
+from ..utils.trace import (
+    format_ops,
+    format_transcript,
+    record_ops,
+    record_transcript,
+)
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="symphony-debug")
     ap.add_argument("scheme", choices=["stwo", "stark101"])
     ap.add_argument("proof_json")
+    ap.add_argument(
+        "--ops", action="store_true",
+        help="decode EVERY primitive op call (field/hash/Merkle/circle) "
+        "with typed args and results — the full jet-tracker depth of the "
+        "reference's `simfony debug` (tracker.rs:43-63); default traces "
+        "channel mix/draw events only",
+    )
+    ap.add_argument(
+        "--ops-filter", default=None,
+        help="comma-separated op names to restrict --ops to (e.g. "
+        "'m31_mul,sha256_pair')",
+    )
+    ap.add_argument(
+        "--limit", type=int, default=None,
+        help="print at most N op events",
+    )
     args = ap.parse_args(argv)
+
+    only = set(args.ops_filter.split(",")) if args.ops_filter else None
+    recorder = (
+        record_ops(only) if args.ops else record_transcript()
+    )
 
     if args.scheme == "stwo":
         from ..models.stwo import proof as P
         from ..models.stwo import verifier
 
         proof, cfg = P.load_json(args.proof_json)
-        with record_transcript() as events:
+        with recorder as events:
             ok, masks = verifier.verify(proof, cfg)
     else:
         from ..models.stark101 import proof as P
@@ -46,10 +72,13 @@ def main(argv=None) -> int:
 
         proof = P.load_json(args.proof_json)
         cfg = Stark101Config()
-        with record_transcript() as events:
+        with recorder as events:
             ok, masks = verifier.verify(proof, cfg)
 
-    print(format_transcript(events))
+    if args.ops:
+        print(format_ops(events, limit=args.limit))
+    else:
+        print(format_transcript(events))
     print("--- masks ---")
     for name, m in masks.items():
         print(f"{'ok  ' if bool(np.asarray(m).all()) else 'FAIL'} {name}")

@@ -36,14 +36,31 @@ assert jax.device_count() >= 8, (
     f"need >= 8 virtual CPU devices for mesh tests, have {jax.device_count()}"
 )
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 import pathlib  # noqa: E402
+
+# Repo-local persistent compile cache: XLA compiles of the verifier graphs
+# take minutes on CPU; /tmp does not survive machine restarts, the repo
+# does.  (Override with JAX_COMPILATION_CACHE_DIR.)
+_REPO_ROOT = pathlib.Path(__file__).parent.parent
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", str(_REPO_ROOT / ".jax_cache")
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 
 FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+# Disk cache for own-prover proofs (tests/.proof_cache), keyed by a hash of
+# every source file the prover's output depends on: proving at TESTING size
+# costs minutes of CPU (compiles), and the proofs only change when the
+# prover changes.  Shared with bench.py / __graft_entry__.py.
+from stark_symphony_tpu.utils.proofcache import (  # noqa: E402
+    cached_stwo_proof as _cached_stwo_proof,
+)
 
 
 def pytest_configure(config):
@@ -62,20 +79,17 @@ def fixtures_dir() -> pathlib.Path:
 @pytest.fixture(scope="session")
 def own_testing_proof():
     """One TESTING-size proof from the in-tree stwo prover (verifies under
-    full 'reference' linkage, unlike the external fixtures)."""
-    from stark_symphony_tpu.models.stwo import prover
+    full 'reference' linkage, unlike the external fixtures).  Disk-cached
+    under tests/.proof_cache keyed by the prover sources' hash."""
     from stark_symphony_tpu.models.stwo.config import TESTING
 
-    proof, _ = prover.prove(TESTING)
-    return proof, TESTING
+    return _cached_stwo_proof(TESTING, "testing"), TESTING
 
 
 @pytest.fixture(scope="session")
 def production_proof():
     """One PRODUCTION-size proof from the in-tree stwo prover (shared by
-    the slow tests so the prover compiles once per session)."""
-    from stark_symphony_tpu.models.stwo import prover
+    the slow tests; disk-cached like own_testing_proof)."""
     from stark_symphony_tpu.models.stwo.config import PRODUCTION
 
-    proof, _ = prover.prove(PRODUCTION)
-    return proof, PRODUCTION
+    return _cached_stwo_proof(PRODUCTION, "production"), PRODUCTION

@@ -9,7 +9,12 @@ from stark_symphony_tpu.utils.checkpoint import (
     channel_state_from_dict,
     channel_state_to_dict,
 )
-from stark_symphony_tpu.utils.trace import format_transcript, record_transcript
+from stark_symphony_tpu.utils.trace import (
+    format_ops,
+    format_transcript,
+    record_ops,
+    record_transcript,
+)
 
 
 def test_record_transcript_events():
@@ -26,6 +31,40 @@ def test_record_transcript_events():
     # no recording outside the context
     state2 = stwo_ch.mix_root(state, np.arange(8, dtype=np.uint32))
     assert len(events) == 2
+
+
+def test_record_ops_jet_level():
+    """Op-level tracing decodes every primitive call with args + result —
+    the reference's full jet-tracker depth (tracker.rs:43-63)."""
+    from stark_symphony_tpu.ops import field as F
+
+    with record_ops() as events:
+        a = np.uint32(3)
+        b = np.uint32(5)
+        out = F.m31_mul(a, b)
+        state = stwo_ch.init()
+        state = stwo_ch.mix_root(state, np.arange(8, dtype=np.uint32))
+    names = [n for n, _, _ in events]
+    assert "m31_mul" in names
+    assert "sha256_words" in names  # via the channel's direct import
+    mul = events[names.index("m31_mul")]
+    assert mul[1] == ["0x3", "0x5"] and mul[2] == "0xf"
+    text = format_ops(events, limit=1)
+    assert "m31_mul" in text and "more" in text
+    # originals restored: no recording (and no wrapper) outside the context
+    assert F.m31_mul.__name__ == "m31_mul"
+    n = len(events)
+    F.m31_mul(a, b)
+    assert len(events) == n
+
+
+def test_record_ops_filter():
+    from stark_symphony_tpu.ops import field as F
+
+    with record_ops({"m31_add"}) as events:
+        F.m31_add(np.uint32(1), np.uint32(2))
+        F.m31_mul(np.uint32(2), np.uint32(2))
+    assert [n for n, _, _ in events] == ["m31_add"]
 
 
 def test_channel_cursor_roundtrip():

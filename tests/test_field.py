@@ -152,3 +152,29 @@ class TestField101:
         assert int(F1.mod_words_be(w, 8193)) == 365
         assert int(F1.mod_words_be(w, 8192)) == st % 8192
         assert int(F1.mod_words_be(w, Q)) == st % Q
+
+
+def test_overflow_checks_debug_mode(monkeypatch):
+    """STPU_CHECK=1 asserts canonical inputs (ops/checks.py); default mode
+    adds no checks (zero-overhead: trace-time branch)."""
+    import numpy as np
+
+    from stark_symphony_tpu.ops import field as F
+    from stark_symphony_tpu.ops import field101 as F101
+
+    monkeypatch.delenv("STPU_CHECK", raising=False)
+    # non-canonical input passes silently when checks are off
+    F.m31_add(np.uint32(0x7FFFFFFF), np.uint32(1))
+
+    monkeypatch.setenv("STPU_CHECK", "1")
+    import pytest
+
+    with pytest.raises(FloatingPointError, match="m31_add"):
+        F.m31_add(np.uint32(0x7FFFFFFF), np.uint32(1))  # lhs == p
+    with pytest.raises(FloatingPointError, match="m31_mul"):
+        F.m31_mul(np.uint32(0xFFFFFFFF), np.uint32(2))
+    with pytest.raises(FloatingPointError, match="f_add"):
+        F101.f_add(np.uint32(0xFFFFFFFF), np.uint32(1))
+    # canonical inputs still work with checks on
+    assert int(np.asarray(F.m31_add(np.uint32(5), np.uint32(6)))) == 11
+    assert int(np.asarray(F101.f_add(np.uint32(5), np.uint32(6)))) == 11

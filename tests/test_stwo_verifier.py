@@ -122,7 +122,15 @@ def test_tampered_proof_rejected(test_proof, field, mutate, tuple_idx):
     assert not bool(ok)
 
 
-@pytest.mark.parametrize("field,mutate,tuple_idx", TAMPERS)
+# pow_nonce is excluded from the own-proof matrix: at TESTING size (one
+# query drawn mod 16, 5-bit PoW) a nonce change can land on a transcript
+# whose query position and PoW digest both collide, making the tampered
+# proof genuinely protocol-valid (the reference verifier accepts it too).
+# test_pow_nonce_tamper_rejected covers the nonce with multiple deltas.
+REF_TAMPERS = [t for t in TAMPERS if t[0] != "pow_nonce"]
+
+
+@pytest.mark.parametrize("field,mutate,tuple_idx", REF_TAMPERS)
 def test_tampered_proof_rejected_reference_linkage(
     own_testing_proof, field, mutate, tuple_idx
 ):
@@ -134,6 +142,67 @@ def test_tampered_proof_rejected_reference_linkage(
     bad = _tamper(proof, field, mutate, tuple_idx)
     ok, _ = verifier.verify_jit(bad, cfg, "wide_fibonacci", "reference")
     assert not bool(ok)
+
+
+def test_pow_nonce_tamper_rejected(own_testing_proof):
+    """The nonce feeds the transcript: across several deltas at least one
+    must be rejected (each non-colliding delta moves the drawn query, which
+    breaks every decommitment; P[all 6 deltas collide] ~ (1/512)^6)."""
+    proof, cfg = own_testing_proof
+    rejected = 0
+    for delta in range(1, 7):
+        bad = _tamper(proof, "pow_nonce", lambda a: a + np.uint32(delta), None)
+        ok, _ = verifier.verify_jit(bad, cfg, "wide_fibonacci", "reference")
+        rejected += int(not bool(ok))
+    assert rejected >= 1
+
+
+@pytest.mark.parametrize("lde_log,n_inner", [(4, 2), (13, 8)])
+def test_fold_coords_match_position_map(lde_log, n_inner):
+    """The pi-doubling-map fold coordinates (fri_fold_coords) are bit-exact
+    vs the reference's per-layer position-map path
+    (circle_domain.simf:27-43 / line_domain.simf:26-32 recomputed per
+    layer) for every layer and query parity."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from stark_symphony_tpu.ops.circle import (
+        CircleDomain,
+        LineDomain,
+        circle_position_to_point,
+        line_position_to_x,
+    )
+    from stark_symphony_tpu.ops.u32 import bit_reverse
+
+    cfg = dataclasses.replace(
+        TESTING, lde_log_size=lde_log, n_inner_layers=n_inner
+    )
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(
+        rng.integers(0, 1 << lde_log, size=257).astype(np.uint32)
+    )
+    pts = verifier.query_points(cfg, q)
+    coords = verifier.fri_fold_coords(cfg, q, pts)
+
+    mask = jnp.uint32(0xFFFFFFFE)
+    for l, c in enumerate(coords):
+        log = lde_log - l
+        rev = bit_reverse((q >> l) & mask, log)
+        if l == 0:
+            want = circle_position_to_point(CircleDomain(log), rev)[..., 1]
+        else:
+            want = line_position_to_x(LineDomain(log), rev)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(want), err_msg=f"layer {l}")
+
+    # batch inversion agrees with per-element addition-chain inverses
+    from stark_symphony_tpu.ops import field as F
+
+    invs = verifier.batch_inv_m31(coords)
+    for l, (c, i) in enumerate(zip(coords, invs)):
+        np.testing.assert_array_equal(
+            np.asarray(i), np.asarray(F.m31_inv(c)), err_msg=f"inv layer {l}"
+        )
 
 
 def test_batch_verify(test_proof):
