@@ -31,7 +31,7 @@ def stwo_source_hash() -> str:
     return h.hexdigest()[:16]
 
 
-def cached_stwo_proof(cfg, tag: str = ""):
+def cached_stwo_proof(cfg, tag: str = "", air: str = "wide_fibonacci"):
     """One stwo proof from the in-tree prover for `cfg`, disk-cached."""
     import jax
     import numpy as np
@@ -40,12 +40,12 @@ def cached_stwo_proof(cfg, tag: str = ""):
     from ..models.stwo import prover
 
     _CACHE.mkdir(parents=True, exist_ok=True)
-    name = f"stwo_{tag or 'cfg'}_{cfg.lde_log_size}_{cfg.n_queries}_" \
-           f"{stwo_source_hash()}.npz"
+    name = f"stwo_{tag or 'cfg'}_{air}_{cfg.lde_log_size}_" \
+           f"{cfg.n_queries}_{stwo_source_hash()}.npz"
     path = _CACHE / name
     if path.exists():
         return P.load_npz(str(path))
-    proof, _ = prover.prove(cfg)
+    proof, _ = prover.prove(cfg, air=air)
     proof = jax.tree_util.tree_map(lambda x: np.asarray(x), proof)
     P.save_npz(str(path), proof)
     return proof

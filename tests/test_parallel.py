@@ -121,8 +121,9 @@ def fib_proof(own_testing_proof):
 
 @pytest.fixture(scope="module")
 def product_proof():
-    proof, _ = stwo_prover.prove(CFG, air="wide_product")
-    return proof
+    from stark_symphony_tpu.utils.proofcache import cached_stwo_proof
+
+    return cached_stwo_proof(CFG, "testing", air="wide_product")
 
 
 def test_scan_microbatches_matches_vmap(fib_proof):
