@@ -41,9 +41,10 @@ def main():
     from jax.sharding import PartitionSpec as Pspec
 
     from stark_symphony_tpu.models.stwo import proof as P
-    from stark_symphony_tpu.models.stwo import prover, verifier
+    from stark_symphony_tpu.models.stwo import verifier
     from stark_symphony_tpu.models.stwo.config import PRODUCTION, TESTING
     from stark_symphony_tpu.parallel.batch import make_mesh, shard_batch
+    from stark_symphony_tpu.utils.proofcache import cached_stwo_proof
 
     backend = jax.default_backend()
     cfg_name = os.environ.get(
@@ -53,7 +54,7 @@ def main():
     per_dev = int(os.environ.get("SCALE_BATCH", "256"))
     n_iters = int(os.environ.get("SCALE_ITERS", "3"))
 
-    proof, _ = prover.prove(cfg)
+    proof = cached_stwo_proof(cfg)
 
     n_avail = jax.device_count()
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
@@ -81,8 +82,11 @@ def main():
         assert int(np.asarray(n_ok).reshape(-1)[0]) == per_dev * n
         t0 = time.perf_counter()
         outs = [fn(c) for c in copies]
-        jax.block_until_ready(outs)
+        # fetch each iteration's (tiny) accept count to host: no runtime
+        # shortcut or lazy block can fake the steady-state number
+        fetched = [int(np.asarray(o[1]).reshape(-1)[0]) for o in outs]
         dt = (time.perf_counter() - t0) / n_iters
+        assert all(f == per_dev * n for f in fetched)
         results[n] = per_dev * n / dt
 
     eff = {

@@ -284,19 +284,38 @@ def _prove_jit(cfg: StwoConfig, trace, air: str = "wide_fibonacci"):
     fri_last = cur[0]
     state = ch.mix_words(state, fri_last)
 
-    # 8. PoW grind (candidate batch; probability all fail ~(1-2^-5)^4096)
-    n_cand = 4096
-    nonces = jnp.arange(n_cand, dtype=jnp.uint32)
-    cand_states = ch.ChannelState(
-        jnp.broadcast_to(state.digest, (n_cand, 8)),
-        jnp.broadcast_to(state.counter, (n_cand,)),
-    )
-    mixed = ch.mix_u64(cand_states, jnp.zeros((n_cand,), jnp.uint32), nonces)
-    hi = byte_swap32(mixed.digest[..., 7])
-    lo = byte_swap32(mixed.digest[..., 6])
+    # 8. PoW grind, chunked by difficulty: pow_bits is a free config axis
+    # (the reference hard-wires 5 bits with a TODO to raise to 32,
+    # config.simf:49-51); expected work is 2^pow_bits hashes, searched in
+    # vectorized chunks under a while_loop so memory stays bounded.
+    n_cand = min(1 << 16, max(4096, 8 << cfg.pow_bits))
     target = cfg.pow_target
-    ok = lt64(hi, lo, jnp.uint32(target >> 32), jnp.uint32(target & 0xFFFFFFFF))
-    nonce = jnp.argmax(ok).astype(jnp.uint32)
+    zeros = jnp.zeros((n_cand,), jnp.uint32)
+
+    def _grind_chunk(start):
+        nonces = start + jnp.arange(n_cand, dtype=jnp.uint32)
+        cand_states = ch.ChannelState(
+            jnp.broadcast_to(state.digest, (n_cand, 8)),
+            jnp.broadcast_to(state.counter, (n_cand,)),
+        )
+        mixed = ch.mix_u64(cand_states, zeros, nonces)
+        hi = byte_swap32(mixed.digest[..., 7])
+        lo = byte_swap32(mixed.digest[..., 6])
+        ok = lt64(hi, lo, jnp.uint32(target >> 32),
+                  jnp.uint32(target & 0xFFFFFFFF))
+        return jnp.any(ok), nonces[jnp.argmax(ok)]
+
+    def _cond(c):
+        return ~c[0]
+
+    def _body(c):
+        _, _, start = c
+        found, nonce = _grind_chunk(start)
+        return found, nonce, start + jnp.uint32(n_cand)
+
+    _, nonce, _ = jax.lax.while_loop(
+        _cond, _body, (jnp.bool_(False), jnp.uint32(0), jnp.uint32(0))
+    )
     state = ch.mix_u64(state, jnp.uint32(0), nonce)
 
     # 9. queries + decommitments (bit-reversed leaf indexing)

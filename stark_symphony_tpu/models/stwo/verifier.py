@@ -33,6 +33,7 @@ from ...ops.circle import (
     circle_position_to_point,
     qm31_point_x,
     qm31_point_y,
+    query_point_table,
 )
 from ...ops.sha256 import sha256_pair, sha256_words
 from ...ops.u32 import bit_reverse, byte_swap32, lt64
@@ -105,12 +106,25 @@ def deep_interpolant_coefficients(oods_point, sample_value, alpha_i):
     return F.qm31_mul(alpha_i, a), F.qm31_mul(alpha_i, b), F.qm31_mul(alpha_i, c)
 
 
+# Above this domain size the embedded point-table constant (2^log * 8 B)
+# stops being worth it and we fall back to the 31-step scalar mul.
+_POINT_TABLE_MAX_LOG = 20
+
+
 def query_points(cfg: StwoConfig, queries):
     """The LDE-domain circle points at the (bit-reversed) query positions.
 
-    One 31-step scalar multiplication per lane — computed ONCE per
-    verification and shared between stage VI (DEEP quotients) and stage
-    VII (FRI fold coordinates, see `fri_fold_coords`)."""
+    Computed ONCE per verification and shared between stage VI (DEEP
+    quotients) and stage VII (FRI fold coordinates, see `fri_fold_coords`).
+    For production-size domains this is one gather from a host-precomputed
+    point table (ops/circle.py query_point_table; bit-reversal + position
+    map + scalar mul folded into the table) — the 31-step conditional-add
+    chain (m31_point.simf:59-91) cost ~40% of the whole verification. The
+    scalar-mul path remains for huge domains and is pinned bit-exact
+    against the table by tests/test_stwo_verifier.py."""
+    if cfg.lde_log_size <= _POINT_TABLE_MAX_LOG:
+        table = query_point_table(cfg.lde_log_size)
+        return jnp.take(jnp.asarray(table), queries.astype(jnp.int32), axis=0)
     domain = CircleDomain(cfg.lde_log_size)
     positions = bit_reverse(queries, cfg.lde_log_size)
     return circle_position_to_point(domain, positions)  # (Q, 2)
@@ -265,6 +279,69 @@ def unfold_first_layer(proof, cfg: StwoConfig, queries, fri_alphas):
     return v_next
 
 
+def _stages_i_to_iv(proof, cfg: StwoConfig, eval_cp, masks):
+    """Transcript stages I-IV + the stage-V query draw (verifier.simf:34-48).
+
+    `proof` may be any container exposing the small per-proof fields
+    (commitments, oods_trace, oods_cp, fri_first_commit, fri_inner_commits,
+    fri_last, pow_nonce) — shared between the standard and tiled paths.
+    Fills `masks` in place; returns (queries, cp_alpha, oods_point,
+    deep_alpha, fri_alphas).
+    """
+    # Stage I: commitments (evals/commit.simf:20-35)
+    state = ch.init(proof.commitments.shape[:-2])
+    state = ch.mix_root(state, proof.commitments[..., 0, :])
+    state = ch.mix_root(state, proof.commitments[..., 1, :])
+    state, cp_alpha, ok = ch.draw_qm31(state)
+    masks["draw_cp_alpha"] = ok
+    state = ch.mix_root(state, proof.commitments[..., 2, :])
+
+    # Stage II: OODS (deep/oods.simf:44-64)
+    state, oods_point, ok = ch.draw_qm31_point(state)
+    masks["draw_oods_point"] = ok
+    oods_words = jnp.concatenate(
+        [
+            proof.oods_trace.reshape(proof.oods_trace.shape[:-2] + (-1,)),
+            proof.oods_cp.reshape(proof.oods_cp.shape[:-2] + (-1,)),
+        ],
+        axis=-1,
+    )
+    state = ch.mix_words(state, oods_words)
+    cp_eval = eval_cp(cfg.trace_log_size, oods_point, proof.oods_trace, cp_alpha)
+    sampled_cp = composition_from_decomposed(proof.oods_cp, oods_point)
+    masks["oods_cp_match"] = F.qm31_eq(cp_eval, sampled_cp)
+    state, deep_alpha, ok = ch.draw_qm31(state)
+    masks["draw_deep_alpha"] = ok
+
+    # Stage III: FRI commit (fri/commit.simf:72-85)
+    fri_alphas = []
+    state = ch.mix_root(state, proof.fri_first_commit)
+    state, alpha, ok = ch.draw_qm31(state)
+    masks["draw_fri_alpha_first"] = ok
+    fri_alphas.append(alpha)
+    for i in range(cfg.n_inner_layers):
+        state = ch.mix_root(state, proof.fri_inner_commits[..., i, :])
+        state, alpha, ok = ch.draw_qm31(state)
+        masks[f"draw_fri_alpha_{i}"] = ok
+        fri_alphas.append(alpha)
+    state = ch.mix_words(state, proof.fri_last)
+
+    # Stage IV: proof of work (pow.simf:22-35)
+    state = ch.mix_u64(state, proof.pow_nonce[..., 0], proof.pow_nonce[..., 1])
+    g = state.digest[..., 6]
+    h = state.digest[..., 7]
+    val_hi = byte_swap32(h)
+    val_lo = byte_swap32(g)
+    target = cfg.pow_target
+    masks["pow"] = lt64(
+        val_hi, val_lo, jnp.uint32(target >> 32), jnp.uint32(target & 0xFFFFFFFF)
+    )
+
+    # Stage V query draw (evals/verify.simf:111-123)
+    state, queries = ch.draw_queries(state, cfg.n_queries, cfg.lde_log_size)
+    return queries, cp_alpha, oods_point, deep_alpha, fri_alphas
+
+
 def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
            linkage: str = "reference", air_id=None, query_sharding=None):
     """Verify a single stwo proof; returns (ok, diagnostics dict).
@@ -349,59 +426,9 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
         )
 
     masks = {}
-
-    # Stage I: commitments (evals/commit.simf:20-35)
-    state = ch.init(proof.commitments.shape[:-2])
-    state = ch.mix_root(state, proof.commitments[..., 0, :])
-    state = ch.mix_root(state, proof.commitments[..., 1, :])
-    state, cp_alpha, ok = ch.draw_qm31(state)
-    masks["draw_cp_alpha"] = ok
-    state = ch.mix_root(state, proof.commitments[..., 2, :])
-
-    # Stage II: OODS (deep/oods.simf:44-64)
-    state, oods_point, ok = ch.draw_qm31_point(state)
-    masks["draw_oods_point"] = ok
-    oods_words = jnp.concatenate(
-        [
-            proof.oods_trace.reshape(proof.oods_trace.shape[:-2] + (-1,)),
-            proof.oods_cp.reshape(proof.oods_cp.shape[:-2] + (-1,)),
-        ],
-        axis=-1,
+    queries, cp_alpha, oods_point, deep_alpha, fri_alphas = _stages_i_to_iv(
+        proof, cfg, eval_cp, masks
     )
-    state = ch.mix_words(state, oods_words)
-    cp_eval = eval_cp(cfg.trace_log_size, oods_point, proof.oods_trace, cp_alpha)
-    sampled_cp = composition_from_decomposed(proof.oods_cp, oods_point)
-    masks["oods_cp_match"] = F.qm31_eq(cp_eval, sampled_cp)
-    state, deep_alpha, ok = ch.draw_qm31(state)
-    masks["draw_deep_alpha"] = ok
-
-    # Stage III: FRI commit (fri/commit.simf:72-85)
-    fri_alphas = []
-    state = ch.mix_root(state, proof.fri_first_commit)
-    state, alpha, ok = ch.draw_qm31(state)
-    masks["draw_fri_alpha_first"] = ok
-    fri_alphas.append(alpha)
-    for i in range(cfg.n_inner_layers):
-        state = ch.mix_root(state, proof.fri_inner_commits[..., i, :])
-        state, alpha, ok = ch.draw_qm31(state)
-        masks[f"draw_fri_alpha_{i}"] = ok
-        fri_alphas.append(alpha)
-    state = ch.mix_words(state, proof.fri_last)
-
-    # Stage IV: proof of work (pow.simf:22-35)
-    state = ch.mix_u64(state, proof.pow_nonce[..., 0], proof.pow_nonce[..., 1])
-    g = state.digest[..., 6]
-    h = state.digest[..., 7]
-    val_hi = byte_swap32(h)
-    val_lo = byte_swap32(g)
-    target = cfg.pow_target
-    masks["pow"] = lt64(
-        val_hi, val_lo, jnp.uint32(target >> 32), jnp.uint32(target & 0xFFFFFFFF)
-    )
-
-    # Stage V: queries + evaluation decommitments (evals/verify.simf:111-123)
-    # trace + CP paths share depth: one batched walk over 2Q paths.
-    state, queries = ch.draw_queries(state, cfg.n_queries, cfg.lde_log_size)
     queries = _cq(queries, 1)
     trace_leaf = sha256_words(proof.trace_evals)  # (Q, 8)
     cp_leaf = sha256_words(proof.cp_evals)
@@ -503,6 +530,112 @@ def verify_batch(proof_batch, cfg: StwoConfig, air: str = "wide_fibonacci",
     if use_vmap:
         return jax.vmap(lambda p: verify(p, cfg, air, linkage)[0])(proof_batch)
     return verify(proof_batch, cfg, air, linkage)[0]
+
+
+def verify_batch_tiled(tb, cfg: StwoConfig, air: str = "wide_fibonacci",
+                       linkage: str = "reference", with_masks: bool = False):
+    """Fast path: verify a pre-tiled proof batch (models/stwo/tiled.py).
+
+    Semantics identical to `verify_batch(..., linkage='reference')` —
+    equivalence is pinned by tests/test_tiled.py — but the per-query
+    stages run as two fused Pallas kernels (ops/pallas/fri_kernel.py):
+    stage V's leaf-hash + path walk + root compare, and stage VII's
+    full multi-layer hash/walk/fold chain.  No per-dispatch relayouts:
+    the word-major tiling happened once at ingestion (tile_batch).
+
+    Returns the accept bitmap (B,), or (bitmap, masks) if with_masks.
+    """
+    assert linkage == "reference", "tiled path enforces stage-VI linkage"
+    from ...ops.pallas import fri_kernel as FK
+
+    eval_cp = REGISTRY[air]
+    b = tb.commitments.shape[0]  # static (shape-derived)
+    q_n = cfg.n_queries
+    m = tb.trace_evals_t.shape[-2]
+    lanes = m * 128
+    pad = lanes - b * q_n
+
+    masks = {}
+    queries, cp_alpha, oods_point, deep_alpha, fri_alphas = _stages_i_to_iv(
+        tb, cfg, eval_cp, masks
+    )
+
+    def lanes_of(x):  # (B, Q) -> (M, 128); lane = b*Q + q (free reshape)
+        xf = x.reshape(-1)
+        if pad:
+            xf = jnp.concatenate([xf, jnp.zeros((pad,), xf.dtype)])
+        return xf.reshape(m, 128)
+
+    def bcast_lanes(x):  # per-proof (B,) -> per-lane (M, 128)
+        return lanes_of(jnp.broadcast_to(x[:, None], (b, q_n)))
+
+    def unlane(x):  # (M, 128) -> (B, Q), dropping pad lanes
+        return x.reshape(-1)[: b * q_n].reshape(b, q_n)
+
+    q_t = lanes_of(queries)[None]  # (1, M, 128)
+
+    # Stage V: fused leaf-hash + walk + root compare, trace then CP
+    root_trace = jnp.stack(
+        [bcast_lanes(tb.commitments[:, 1, i]) for i in range(8)]
+    )
+    root_cp = jnp.stack(
+        [bcast_lanes(tb.commitments[:, 2, i]) for i in range(8)]
+    )
+    ok_t = FK.leafwalk_tiled(tb.trace_evals_t, q_t, tb.trace_sibs_t,
+                             root_trace, cfg.n_columns, cfg.lde_log_size)
+    ok_c = FK.leafwalk_tiled(tb.cp_evals_t, q_t, tb.cp_sibs_t,
+                             root_cp, cfg.n_cp_partitions, cfg.lde_log_size)
+    masks["trace_merkle"] = jnp.all(unlane(ok_t[0]) == 1, axis=-1)
+    masks["cp_merkle"] = jnp.all(unlane(ok_c[0]) == 1, axis=-1)
+
+    # Stage VI (XLA): elementwise field chains — per-column values come out
+    # of the tiled arrays with free reshapes (word-major layout)
+    trace_evals = jnp.stack(
+        [unlane(tb.trace_evals_t[c]) for c in range(cfg.n_columns)], axis=-1
+    )
+    cp_evals = jnp.stack(
+        [unlane(tb.cp_evals_t[k]) for k in range(cfg.n_cp_partitions)],
+        axis=-1,
+    )
+    pts = query_points(cfg, queries)
+    answers = fri_answers(
+        cfg, queries, trace_evals, cp_evals, deep_alpha,
+        oods_point, tb.oods_trace, tb.oods_cp, pts=pts,
+    )
+
+    # Stage VII: one fused kernel over all layers
+    n_layers = 1 + cfg.n_inner_layers
+    coord_invs = batch_inv_m31(fri_fold_coords(cfg, queries, pts))
+    cinvs = jnp.stack([lanes_of(c) for c in coord_invs])
+    ev_t = jnp.stack([lanes_of(answers[..., i]) for i in range(4)])
+    alphas_t = jnp.stack([
+        jnp.stack([bcast_lanes(fri_alphas[l][:, i]) for i in range(4)])
+        for l in range(n_layers)
+    ])
+    roots = [tb.fri_first_commit] + [
+        tb.fri_inner_commits[:, i, :] for i in range(cfg.n_inner_layers)
+    ]
+    roots_t = jnp.stack([
+        jnp.stack([bcast_lanes(r[:, i]) for i in range(8)]) for r in roots
+    ])
+    depths = tuple(cfg.fri_layer_depth(l) for l in range(n_layers))
+    ok_l, folded, q_out = FK.fri_all_layers_tiled(
+        q_t, ev_t, tb.fri_wits_t, cinvs, alphas_t, tb.fri_sibs_t,
+        roots_t, depths,
+    )
+    for l in range(n_layers):
+        masks[f"fri_merkle_{l}"] = jnp.all(unlane(ok_l[l]) == 1, axis=-1)
+    folded_bq = jnp.stack([unlane(folded[i]) for i in range(4)], axis=-1)
+    masks["fri_last_eval"] = jnp.all(
+        F.qm31_eq(folded_bq, tb.fri_last[:, None, :]), axis=-1
+    )
+    if cfg.final_log_size == 0:
+        masks["fri_last_query"] = jnp.all(unlane(q_out[0]) == 0, axis=-1)
+
+    ok_all = None
+    for mk in masks.values():
+        ok_all = mk if ok_all is None else (ok_all & mk)
+    return (ok_all, masks) if with_masks else ok_all
 
 
 # Shared jitted entry point: traces once per (cfg, air, linkage) per process.

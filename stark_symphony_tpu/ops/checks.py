@@ -14,6 +14,11 @@ equivalent discipline is:
   the primitives assert their preconditions via `jax.debug.callback`
   (works under jit; host-evaluated) — the analogue of running the
   reference under its type-checked BitMachine instead of bare jets.
+  NOTE: the raised ``FloatingPointError`` is only catchable as that type
+  in eager mode; under jit the callback's exception surfaces as an XLA
+  runtime error (possibly deferred by async dispatch until the next
+  ``block_until_ready``).  Callers needing a typed, synchronously
+  catchable failure under jit should use ``jax.experimental.checkify``.
 
 Zero overhead when disabled: the checks are trace-time no-ops.
 """
@@ -41,9 +46,13 @@ def check_lt(x, bound: int, what: str) -> None:
     import jax
     import jax.numpy as jnp
 
-    ok = jnp.all(jnp.asarray(x) < jnp.asarray(bound, jnp.uint64).astype(
-        jnp.asarray(x).dtype
-    ))
+    x = jnp.asarray(x)
+    nbits = x.dtype.itemsize * 8
+    if int(bound) >= (1 << nbits):
+        # every representable lane value satisfies the bound — casting the
+        # bound down to x's dtype would silently wrap and pass bad inputs
+        return
+    ok = jnp.all(x < x.dtype.type(bound))
     jax.debug.callback(
         lambda o, m=f"overflow check failed: {what} (bound {bound:#x})":
         _host_assert(o, m),

@@ -16,6 +16,7 @@ Points are stored as a trailing axis of size 2: [x, y].
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -172,6 +173,50 @@ def circle_position_to_index(domain: CircleDomain, position):
 
 def circle_position_to_point(domain: CircleDomain, position):
     return point_from_index(circle_position_to_index(domain, position))
+
+
+@_functools.lru_cache(maxsize=None)
+def query_point_table(log_size: int) -> np.ndarray:
+    """Host-precomputed LDE-domain points in *query index* order.
+
+    table[q] = point at position bit_reverse(q, log_size) of the canonic
+    coset of size 2^log_size — i.e. the composition of the verifier's
+    bit-reversal (coset.simf:20-25), position->index map
+    (circle_domain.simf:27-37), and 31-step scalar mul
+    (m31_point.simf:59-91), folded into one (2^log, 2) uint32 constant.
+    Replaces the per-lane 31-step conditional-add chain (the dominant
+    field-op cost of stages VI/VII at production shape: one table gather
+    instead of ~124 M31 multiplies per lane).
+
+    Size: 2^log * 8 bytes (64 KiB at the production log 13).
+    """
+    n = 1 << log_size
+    d = CircleDomain(log_size)
+    q = np.arange(n, dtype=np.uint64)
+    # bit-reverse the low log_size bits
+    pos = np.zeros(n, np.uint64)
+    for b in range(log_size):
+        pos |= ((q >> b) & 1) << (log_size - 1 - b)
+    half = np.uint64(d.half_size)
+    in_first = pos < half
+    pos2 = np.where(in_first, pos, pos - half)
+    mask31 = np.uint64((1 << 31) - 1)
+    idx = (np.uint64(d.offset) + np.uint64(d.step) * pos2) & mask31
+    # vectorized 31-step double-and-add against the constant G*2^k table
+    x = np.ones(n, np.uint64)
+    y = np.zeros(n, np.uint64)
+    p64 = np.uint64(P)
+    for k in range(31):
+        gx, gy = np.uint64(GEN_POW2[k][0]), np.uint64(GEN_POW2[k][1])
+        # products < 2^62; sums < 2^63: fits uint64
+        nx = ((x * gx) % p64 + p64 - (y * gy) % p64) % p64
+        ny = ((x * gy) % p64 + (y * gx) % p64) % p64
+        bit = ((idx >> np.uint64(k)) & np.uint64(1)).astype(bool)
+        x = np.where(bit, nx, x)
+        y = np.where(bit, ny, y)
+    # second domain half: negated points (y -> -y)
+    y = np.where(in_first, y, np.where(y == 0, y, p64 - y))
+    return np.stack([x, y], axis=-1).astype(np.uint32)
 
 
 def line_position_to_x(domain: LineDomain, position):

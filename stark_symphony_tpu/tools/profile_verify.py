@@ -32,15 +32,24 @@ os.environ.setdefault(
 )
 
 
-def _time(fn, args, iters):
+def _log(msg):
+    print(f"[profile {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _time(fn, args, iters, name=""):
     import jax
 
+    _log(f"compiling {name} ...")
+    t0 = time.perf_counter()
     out = fn(*args)  # compile
     jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    _log(f"compiled {name} in {compile_s:.1f}s; timing")
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(iters)]
     jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / iters, compile_s
 
 
 def main(argv=None) -> int:
@@ -94,7 +103,7 @@ def main(argv=None) -> int:
         state, queries = ch.draw_queries(state, cfg.n_queries, cfg.lde_log_size)
         return state.digest, queries
 
-    results["transcript_I_IV"] = _time(stages_i_iv, (proof,), iters)
+    results["transcript_I_IV"] = _time(stages_i_iv, (proof,), iters, "transcript_I_IV")
     _, queries = stages_i_iv(proof)
     queries = jax.device_put(np.asarray(queries))
 
@@ -112,7 +121,7 @@ def main(argv=None) -> int:
         return merkle.verify_path(
             leaves, jnp.concatenate([q, q], axis=-1), sibs, roots)
 
-    results["evals_merkle_V"] = _time(stage_v, (proof, queries), iters)
+    results["evals_merkle_V"] = _time(stage_v, (proof, queries), iters, "evals_merkle_V")
 
     # stage VI: query points (31-step scalar mul) + DEEP quotients
     @jax.jit
@@ -124,13 +133,13 @@ def main(argv=None) -> int:
             cfg, q, p.trace_evals, p.cp_evals, p.oods_cp[..., 0, :],
             oods_point, p.oods_trace, p.oods_cp, pts=pts)
 
-    results["deep_quotients_VI"] = _time(stage_vi, (proof, queries), iters)
+    results["deep_quotients_VI"] = _time(stage_vi, (proof, queries), iters, "deep_quotients_VI")
 
     @jax.jit
     def stage_vi_points_only(q):
         return verifier.query_points(cfg, q)
 
-    results["query_points_only"] = _time(stage_vi_points_only, (queries,), iters)
+    results["query_points_only"] = _time(stage_vi_points_only, (queries,), iters, "query_points_only")
 
     # stage VII: folds + layer Merkle walks (alphas faked as constants;
     # same op mix and shapes as the real stage)
@@ -169,21 +178,22 @@ def main(argv=None) -> int:
             np.array(m_depths))
         return ok, cur_e
 
-    results["fri_VII"] = _time(stage_vii, (proof, queries, alphas), iters)
+    results["fri_VII"] = _time(stage_vii, (proof, queries, alphas), iters, "fri_VII")
 
     # end-to-end reference point
     @jax.jit
     def full(p):
         return verifier.verify_batch(p, cfg, linkage="reference")
 
-    results["full_verify"] = _time(full, (proof,), iters)
+    results["full_verify"] = _time(full, (proof,), iters, "full_verify")
 
-    for stage, dt in results.items():
+    for stage, (dt, compile_s) in results.items():
         print(json.dumps({
             "stage": stage,
             "ms_per_batch": round(dt * 1e3, 3),
             "batch": batch,
             "proofs_per_sec": round(batch / dt, 1),
+            "compile_s": round(compile_s, 1),
         }))
     return 0
 

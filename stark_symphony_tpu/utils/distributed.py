@@ -100,6 +100,6 @@ def local_batch_slice(global_batch: int):
 
     n = jax.process_count()
     i = jax.process_index()
+    assert global_batch % n == 0, "process count must divide global batch"
     per = global_batch // n
-    assert global_batch % n == 0, "global batch must divide process count"
     return i * per, per

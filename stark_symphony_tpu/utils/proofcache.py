@@ -31,8 +31,28 @@ def stwo_source_hash() -> str:
     return h.hexdigest()[:16]
 
 
-def cached_stwo_proof(cfg, tag: str = "", air: str = "wide_fibonacci"):
-    """One stwo proof from the in-tree prover for `cfg`, disk-cached."""
+def _cfg_hash(cfg) -> str:
+    """Short hash over EVERY config field, so no two distinct configs can
+    share a cache entry (advisor r03: keying on hand-picked fields let
+    configs differing only in e.g. pow_bits collide)."""
+    import dataclasses
+
+    return hashlib.sha256(
+        repr(sorted(dataclasses.asdict(cfg).items())).encode()
+    ).hexdigest()[:12]
+
+
+def cached_stwo_proof(cfg, tag: str = "", air: str = "wide_fibonacci",
+                      seed=None):
+    """One stwo proof from the in-tree prover for `cfg`, disk-cached.
+
+    `tag` is cosmetic only (the key is the full config + source hash), so
+    callers using different tags for the same config share one entry.
+    `seed` (optional int) keys distinct-trace proofs for mixed batches.
+    """
+    import os
+    import tempfile
+
     import jax
     import numpy as np
 
@@ -40,12 +60,41 @@ def cached_stwo_proof(cfg, tag: str = "", air: str = "wide_fibonacci"):
     from ..models.stwo import prover
 
     _CACHE.mkdir(parents=True, exist_ok=True)
-    name = f"stwo_{tag or 'cfg'}_{air}_{cfg.lde_log_size}_" \
-           f"{cfg.n_queries}_{stwo_source_hash()}.npz"
-    path = _CACHE / name
-    if path.exists():
-        return P.load_npz(str(path))
-    proof, _ = prover.prove(cfg, air=air)
+    seed_part = "" if seed is None else f"_s{int(seed)}"
+    prefix = f"stwo_{air}_{_cfg_hash(cfg)}{seed_part}_"
+    path = _CACHE / f"{prefix}{stwo_source_hash()}.npz"
+    candidates = [path] if path.exists() else sorted(
+        # stale-source fallback: a source edit rarely changes proof BYTES;
+        # every downstream consumer asserts the proof verifies, so a truly
+        # stale proof is caught there — while non-semantic edits skip the
+        # minutes-long prover re-run.  Delete tests/.proof_cache to force.
+        _CACHE.glob(f"{prefix}*.npz"),
+        key=lambda p: p.stat().st_mtime, reverse=True,
+    )
+    for cand in candidates:
+        try:
+            return P.load_npz(str(cand))
+        except Exception:
+            cand.unlink(missing_ok=True)  # truncated write: regenerate
+    kwargs = {}
+    if seed is not None:
+        t = 1 << cfg.trace_log_size
+        row = np.arange(1, t + 1, dtype=np.uint64)
+        seeds = (row * np.uint64(2 * int(seed) + 1)) % np.uint64(
+            (1 << 31) - 1
+        ) + 1
+        kwargs["trace"] = prover.generate_trace(cfg, seeds=seeds, air=air)
+    proof, _ = prover.prove(cfg, air=air, **kwargs)
     proof = jax.tree_util.tree_map(lambda x: np.asarray(x), proof)
-    P.save_npz(str(path), proof)
+    # atomic publish: concurrent writers (multi-host shared FS) each write
+    # a private temp file; os.replace is atomic on POSIX
+    # suffix must be .npz or np.savez appends one and os.replace misses it
+    fd, tmp = tempfile.mkstemp(dir=str(_CACHE), suffix=".tmp.npz")
+    os.close(fd)
+    try:
+        P.save_npz(tmp, proof)
+        os.replace(tmp, str(path))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return proof
