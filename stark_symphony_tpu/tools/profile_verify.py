@@ -52,8 +52,129 @@ def _time(fn, args, iters, name=""):
     return (time.perf_counter() - t0) / iters, compile_s
 
 
+def main_tiled(batch: int, iters: int) -> int:
+    """Per-stage profile of the TILED fused-kernel path (verify_batch_tiled)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+
+    from ..models.stwo import proof as P
+    from ..models.stwo import tiled, verifier
+    from ..models.stwo.config import PRODUCTION
+    from ..ops.pallas import fri_kernel as FK
+    from ..utils.proofcache import cached_stwo_proof
+
+    cfg = PRODUCTION
+    tb = tiled.tile_batch(
+        P.replicate(cached_stwo_proof(cfg, "bench"), batch), cfg
+    )
+    tb = jax.device_put(tb)
+    b, q_n = batch, cfg.n_queries
+    m = tb.trace_evals_t.shape[-2]
+    rng = np.random.default_rng(0)
+    results = {}
+
+    # synthetic per-lane inputs (shape-correct; values irrelevant to cost)
+    q_t = jax.device_put(jnp.asarray(
+        rng.integers(0, 1 << cfg.lde_log_size, (1, m, 128), dtype=np.uint32)))
+    root8 = jax.device_put(jnp.asarray(
+        rng.integers(0, 1 << 32, (8, m, 128), dtype=np.uint32)))
+
+    @jax.jit
+    def stage_v_trace(ev, qq):
+        return FK.leafwalk_tiled(ev, qq, tb.trace_sibs_t, root8,
+                                 cfg.n_columns, cfg.lde_log_size)
+
+    results["tiled_leafwalk_trace"] = _time(
+        stage_v_trace, (tb.trace_evals_t, q_t), iters, "tiled_leafwalk_trace")
+
+    @jax.jit
+    def stage_v_cp(ev, qq):
+        return FK.leafwalk_tiled(ev, qq, tb.cp_sibs_t, root8,
+                                 cfg.n_cp_partitions, cfg.lde_log_size)
+
+    results["tiled_leafwalk_cp"] = _time(
+        stage_v_cp, (tb.cp_evals_t, q_t), iters, "tiled_leafwalk_cp")
+
+    # fused FRI kernel with synthetic scalars
+    n_layers = 1 + cfg.n_inner_layers
+    depths = tuple(cfg.fri_layer_depth(l) for l in range(n_layers))
+    ev4 = jax.device_put(jnp.asarray(
+        rng.integers(0, (1 << 31) - 1, (4, m, 128), dtype=np.uint32)))
+    cinvs = jax.device_put(jnp.asarray(
+        rng.integers(1, (1 << 31) - 1, (n_layers, m, 128), dtype=np.uint32)))
+    alphas = jax.device_put(jnp.asarray(
+        rng.integers(0, (1 << 31) - 1, (n_layers, 4, m, 128), dtype=np.uint32)))
+    roots_t = jax.device_put(jnp.asarray(
+        rng.integers(0, 1 << 32, (n_layers, 8, m, 128), dtype=np.uint32)))
+
+    @jax.jit
+    def fri_fused(qq, ev):
+        return FK.fri_all_layers_tiled(qq, ev, tb.fri_wits_t, cinvs, alphas,
+                                       tb.fri_sibs_t, roots_t, depths)
+
+    results["tiled_fri_fused"] = _time(
+        fri_fused, (q_t, ev4), iters, "tiled_fri_fused")
+
+    # stage VI (XLA) with the point-table gather
+    queries = jax.device_put(jnp.asarray(
+        rng.integers(0, 1 << cfg.lde_log_size, (b, q_n), dtype=np.uint32)))
+
+    @jax.jit
+    def points_only(qq):
+        return verifier.query_points(cfg, qq)
+
+    results["tiled_query_points_gather"] = _time(
+        points_only, (queries,), iters, "tiled_query_points_gather")
+
+    @jax.jit
+    def stage_vi(qq):
+        trace_evals = jnp.stack(
+            [qq_ for qq_ in [tb.trace_evals_t[c].reshape(-1)[: b * q_n]
+                             .reshape(b, q_n) for c in range(cfg.n_columns)]],
+            axis=-1)
+        cp_evals = jnp.stack(
+            [tb.cp_evals_t[k].reshape(-1)[: b * q_n].reshape(b, q_n)
+             for k in range(cfg.n_cp_partitions)], axis=-1)
+        pts = verifier.query_points(cfg, qq)
+        oods_point = jnp.stack([tb.oods_trace[..., 0, :],
+                                tb.oods_trace[..., 1, :]], axis=-2)
+        return verifier.fri_answers(
+            cfg, qq, trace_evals, cp_evals, tb.oods_cp[..., 0, :],
+            oods_point, tb.oods_trace, tb.oods_cp, pts=pts)
+
+    results["tiled_stage_vi"] = _time(stage_vi, (queries,), iters,
+                                      "tiled_stage_vi")
+
+    @jax.jit
+    def full(t):
+        return verifier.verify_batch_tiled(t, cfg, linkage="reference")
+
+    results["tiled_full_verify"] = _time(full, (tb,), iters,
+                                         "tiled_full_verify")
+
+    for stage, (dt, compile_s) in results.items():
+        print(json.dumps({
+            "stage": stage,
+            "ms_per_batch": round(dt * 1e3, 3),
+            "batch": batch,
+            "proofs_per_sec": round(batch / dt, 1),
+            "compile_s": round(compile_s, 1),
+        }))
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "--tiled":
+        argv = argv[1:]
+        batch = int(argv[0]) if argv else 2048
+        iters = int(argv[1]) if len(argv) > 1 else 5
+        return main_tiled(batch, iters)
     batch = int(argv[0]) if argv else 2048
     iters = int(argv[1]) if len(argv) > 1 else 5
 
