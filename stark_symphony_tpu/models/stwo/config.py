@@ -58,6 +58,13 @@ PRODUCTION = StwoConfig(
     trace_log_size=9, lde_log_size=13, n_queries=16, n_inner_layers=8, pow_bits=5
 )
 
+# TESTING-size config with a splittable query axis (n_queries=4) — used by
+# the tensor-parallel (query-sharded) tests and the multichip dryrun.
+TESTING_Q4 = StwoConfig(
+    trace_log_size=3, lde_log_size=4, n_queries=4, n_inner_layers=2,
+    pow_bits=5
+)
+
 
 def from_proof_json(data: dict) -> StwoConfig:
     """Derive the config from a stwo proof JSON (its embedded "config" key

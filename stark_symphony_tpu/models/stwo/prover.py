@@ -143,6 +143,46 @@ def prove(cfg: StwoConfig, trace: np.ndarray | None = None,
     return proof, {}
 
 
+def pow_grind(cfg: StwoConfig, state):
+    """Find the PoW nonce for a channel state, chunked by difficulty.
+
+    pow_bits is a free config axis (the reference hard-wires 5 bits with a
+    TODO to raise to 32, config.simf:49-51); expected work is 2^pow_bits
+    hashes, searched in vectorized chunks under a while_loop so memory
+    stays bounded.  Traceable (used inside _prove_jit) and jittable
+    standalone (sharded prover).
+    """
+    n_cand = min(1 << 16, max(4096, 8 << cfg.pow_bits))
+    target = cfg.pow_target
+    zeros = jnp.zeros((n_cand,), jnp.uint32)
+
+    def _grind_chunk(start):
+        nonces = start + jnp.arange(n_cand, dtype=jnp.uint32)
+        cand_states = ch.ChannelState(
+            jnp.broadcast_to(state.digest, (n_cand, 8)),
+            jnp.broadcast_to(state.counter, (n_cand,)),
+        )
+        mixed = ch.mix_u64(cand_states, zeros, nonces)
+        hi = byte_swap32(mixed.digest[..., 7])
+        lo = byte_swap32(mixed.digest[..., 6])
+        ok = lt64(hi, lo, jnp.uint32(target >> 32),
+                  jnp.uint32(target & 0xFFFFFFFF))
+        return jnp.any(ok), nonces[jnp.argmax(ok)]
+
+    def _cond(c):
+        return ~c[0]
+
+    def _body(c):
+        _, _, start = c
+        found, nonce = _grind_chunk(start)
+        return found, nonce, start + jnp.uint32(n_cand)
+
+    _, nonce, _ = jax.lax.while_loop(
+        _cond, _body, (jnp.bool_(False), jnp.uint32(0), jnp.uint32(0))
+    )
+    return nonce
+
+
 EMPTY_ROOT_WORDS = np.frombuffer(
     bytes.fromhex(
         "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
@@ -151,8 +191,29 @@ EMPTY_ROOT_WORDS = np.frombuffer(
 ).astype(np.uint32)  # sha256("") — the empty preprocessed tree commitment
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def _prove_jit(cfg: StwoConfig, trace, air: str = "wide_fibonacci"):
+class PreFri(NamedTuple):
+    """Everything the prover knows after stage 6 (pre-FRI): transcript
+    state, commitments + tree levels, LDE values, OODS samples, and the
+    DEEP-quotient first FRI layer.  Shared between the single-device
+    prover (_prove_jit) and the domain-sharded prover
+    (models/stwo/prover_sharded.py)."""
+
+    state_digest: jnp.ndarray
+    state_counter: jnp.ndarray
+    trace_root: jnp.ndarray
+    cp_root: jnp.ndarray
+    trace_levels: tuple
+    cp_levels: tuple
+    trace_lde: jnp.ndarray
+    cp_col_vals: jnp.ndarray
+    oods_trace: jnp.ndarray
+    oods_cp: jnp.ndarray
+    first_layer: jnp.ndarray
+
+
+def _pre_fri(cfg: StwoConfig, trace, air: str = "wide_fibonacci"):
+    """Prover stages 1-6 (trace LDE/commit -> CP -> OODS -> DEEP
+    quotients); traceable, shared by _prove_jit and prover_sharded."""
     lde_log = cfg.lde_log_size
     t_log = cfg.trace_log_size
     L = 1 << lde_log
@@ -250,6 +311,34 @@ def _prove_jit(cfg: StwoConfig, trace, air: str = "wide_fibonacci"):
     first_layer = F.qm31_mul(
         F.qm31_mul_cm31(acc, denom_inv), jnp.broadcast_to(alpha_i, acc.shape)
     )  # (L, 4)
+    return PreFri(
+        state_digest=state.digest,
+        state_counter=state.counter,
+        trace_root=trace_root,
+        cp_root=cp_root,
+        trace_levels=tuple(trace_levels),
+        cp_levels=tuple(cp_levels),
+        trace_lde=trace_lde,
+        cp_col_vals=cp_col_vals,
+        oods_trace=oods_trace,
+        oods_cp=oods_cp,
+        first_layer=first_layer,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _prove_jit(cfg: StwoConfig, trace, air: str = "wide_fibonacci"):
+    lde_log = cfg.lde_log_size
+    pre = _pre_fri(cfg, trace, air)
+    state = ch.ChannelState(pre.state_digest, pre.state_counter)
+    first_layer = pre.first_layer
+    trace_lde = pre.trace_lde
+    cp_col_vals = pre.cp_col_vals
+    trace_levels = list(pre.trace_levels)
+    cp_levels = list(pre.cp_levels)
+    trace_root, cp_root = pre.trace_root, pre.cp_root
+    oods_trace, oods_cp = pre.oods_trace, pre.oods_cp
+    const_root = EMPTY_ROOT_WORDS
 
     # 7. FRI
     lvls, lvls_inv = twiddles(lde_log)
@@ -284,38 +373,8 @@ def _prove_jit(cfg: StwoConfig, trace, air: str = "wide_fibonacci"):
     fri_last = cur[0]
     state = ch.mix_words(state, fri_last)
 
-    # 8. PoW grind, chunked by difficulty: pow_bits is a free config axis
-    # (the reference hard-wires 5 bits with a TODO to raise to 32,
-    # config.simf:49-51); expected work is 2^pow_bits hashes, searched in
-    # vectorized chunks under a while_loop so memory stays bounded.
-    n_cand = min(1 << 16, max(4096, 8 << cfg.pow_bits))
-    target = cfg.pow_target
-    zeros = jnp.zeros((n_cand,), jnp.uint32)
-
-    def _grind_chunk(start):
-        nonces = start + jnp.arange(n_cand, dtype=jnp.uint32)
-        cand_states = ch.ChannelState(
-            jnp.broadcast_to(state.digest, (n_cand, 8)),
-            jnp.broadcast_to(state.counter, (n_cand,)),
-        )
-        mixed = ch.mix_u64(cand_states, zeros, nonces)
-        hi = byte_swap32(mixed.digest[..., 7])
-        lo = byte_swap32(mixed.digest[..., 6])
-        ok = lt64(hi, lo, jnp.uint32(target >> 32),
-                  jnp.uint32(target & 0xFFFFFFFF))
-        return jnp.any(ok), nonces[jnp.argmax(ok)]
-
-    def _cond(c):
-        return ~c[0]
-
-    def _body(c):
-        _, _, start = c
-        found, nonce = _grind_chunk(start)
-        return found, nonce, start + jnp.uint32(n_cand)
-
-    _, nonce, _ = jax.lax.while_loop(
-        _cond, _body, (jnp.bool_(False), jnp.uint32(0), jnp.uint32(0))
-    )
+    # 8. PoW grind (pow_grind below)
+    nonce = pow_grind(cfg, state)
     state = ch.mix_u64(state, jnp.uint32(0), nonce)
 
     # 9. queries + decommitments (bit-reversed leaf indexing)

@@ -48,29 +48,6 @@ def shard_batch(batch, mesh: Mesh, axis: str = "dp"):
     return jax.tree_util.tree_map(put, batch)
 
 
-def verify_batch_sharded(verify_one, batch, mesh: Mesh):
-    """jit-compiled sharded batch verification (vmap-lifted form).
-
-    Args:
-      verify_one: proof -> bool (single-proof verifier, e.g.
-        `lambda p: stwo_verifier.verify(p, cfg)[0]`).
-      batch: stacked proof pytree, leading axis = proofs.
-      mesh: from make_mesh.
-
-    Returns:
-      (bitmap (B,) bool sharded over dp, n_accepted scalar) — the count is a
-      cross-device `psum`-style reduction inserted by XLA.
-    """
-    batch = shard_batch(batch, mesh)
-
-    @jax.jit
-    def run(b):
-        bitmap = jax.vmap(verify_one)(b)
-        return bitmap, jnp.sum(bitmap.astype(jnp.int32))
-
-    return run(batch)
-
-
 def verify_batch_dp(batch, cfg, mesh: Mesh, air: str = "wide_fibonacci",
                     linkage: str = "reference", axis_name: str = "dp"):
     """DP scale-out: shard_map over `axis_name`, natively-batched verifier
@@ -95,6 +72,99 @@ def verify_batch_dp(batch, cfg, mesh: Mesh, air: str = "wide_fibonacci",
     fn = jax.shard_map(
         local, mesh=mesh, in_specs=P(axis_name),
         out_specs=(P(axis_name), P()),
+    )
+    return jax.jit(fn)(batch)
+
+
+def _proof_specs(batch_axis: str, query_axis: str):
+    """PartitionSpec pytree for a stacked StwoProof: per-query arrays split
+    over (batch, query) axes, per-proof arrays over batch only."""
+    from ..models.stwo.proof import StwoProof
+
+    def pq(_):
+        return P(batch_axis, query_axis)
+
+    return StwoProof(
+        commitments=P(batch_axis),
+        trace_evals=pq(None),
+        trace_sibs=pq(None),
+        cp_evals=pq(None),
+        cp_sibs=pq(None),
+        oods_trace=P(batch_axis),
+        oods_cp=P(batch_axis),
+        fri_first_commit=P(batch_axis),
+        fri_inner_commits=P(batch_axis),
+        fri_last=P(batch_axis),
+        fri_witnesses=None,  # filled per-layer below
+        fri_sibs=None,
+        pow_nonce=P(batch_axis),
+    )
+
+
+def verify_batch_tp(batch, cfg, mesh: Mesh, air: str = "wide_fibonacci",
+                    linkage: str = "reference", batch_axis: str = "dp",
+                    query_axis: str = "tp"):
+    """Manual tensor parallelism over the query axis, Pallas-compatible.
+
+    shard_map over ('dp', 'tp'): every device holds a (B/dp, Q/tp, ...)
+    shard of the per-query proof arrays.  Inside the shard the verifier
+    runs its transcript per-proof (replicated over 'tp' — it is <1% of the
+    work), slices its local queries (verify(query_slice=...)), and runs
+    every per-query stage on local data — the opaque Pallas kernels see
+    ordinary local shards, unlike the GSPMD path (verify_batch_gspmd)
+    which must disable them.  Per-query masks are AND-reduced over 'tp'
+    with a psum; the accept count psums over 'dp'.
+
+    Q must be divisible by the 'tp' mesh size (the reference grid is 16
+    queries x 20 columns, fri/answers.simf:97-130).
+
+    Returns (bitmap (B,) sharded over dp, replicated accept count).
+    """
+    from ..models.stwo import verifier
+    from ..models.stwo.proof import StwoProof
+
+    tp_size = mesh.shape[query_axis]
+    assert cfg.n_queries % tp_size == 0, (
+        f"n_queries={cfg.n_queries} not divisible by tp={tp_size}"
+    )
+    n_local = cfg.n_queries // tp_size
+
+    specs = _proof_specs(batch_axis, query_axis)._asdict()
+    specs["fri_witnesses"] = tuple(
+        P(batch_axis, query_axis) for _ in batch.fri_witnesses
+    )
+    specs["fri_sibs"] = tuple(
+        P(batch_axis, query_axis) for _ in batch.fri_sibs
+    )
+    in_specs = StwoProof(**specs)
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    # manual zip: PartitionSpec is a tuple subclass, so tree_map would
+    # descend into the specs instead of treating them as leaves
+    placed = {}
+    for name in StwoProof._fields:
+        val, spec = getattr(batch, name), getattr(in_specs, name)
+        if isinstance(val, tuple):
+            placed[name] = tuple(put(v, s) for v, s in zip(val, spec))
+        else:
+            placed[name] = put(val, spec)
+    batch = StwoProof(**placed)
+
+    def local(b):
+        ok = verifier.verify(b, cfg, air, linkage,
+                             query_slice=(query_axis, n_local))[0]
+        # AND over the query shards: every shard's masks must pass
+        ok_all = jax.lax.psum(ok.astype(jnp.int32), query_axis) == tp_size
+        n_ok = jax.lax.psum(
+            jnp.sum(ok_all.astype(jnp.int32)), batch_axis
+        )
+        return ok_all, n_ok
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(in_specs,),
+        out_specs=(P(batch_axis), P()),
     )
     return jax.jit(fn)(batch)
 

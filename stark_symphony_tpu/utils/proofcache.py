@@ -71,6 +71,13 @@ def cached_stwo_proof(cfg, tag: str = "", air: str = "wide_fibonacci",
         _CACHE.glob(f"{prefix}*.npz"),
         key=lambda p: p.stat().st_mtime, reverse=True,
     )
+    if not candidates:
+        # committed fixtures (cold machines: skip the prover compile)
+        candidates = sorted(
+            (_ROOT / "tests" / "fixtures" / "own_proofs").glob(
+                f"{prefix}*.npz"
+            )
+        )
     for cand in candidates:
         try:
             return P.load_npz(str(cand))
