@@ -119,10 +119,15 @@ def main():
     emit("merkle_compressions_per_sec", walk_rate, "compr/s", depth=depth,
          lanes=n, chained_steps=inner)
 
-    # consistency gate: same compression function => rates within 4x
+    # consistency gate: same compression function.  The walk runs 26
+    # compressions per grid step vs the pair's 2, so the pair rate is
+    # partially fixed-per-step-overhead-bound (~10 us/step measured on
+    # v5e) and the walk rate is the kernel-efficiency number — a ratio in
+    # (1, 8] is the expected signature; <1 (dispatch artifact) or >8
+    # (elision) flags a broken measurement.
     ratio = walk_rate / pair_rate
     emit("gate_walk_vs_pair_ratio", ratio, "x",
-         consistent=bool(0.25 <= ratio <= 4.0))
+         consistent=bool(1.0 <= ratio <= 8.0))
 
     # --- field multiplies (chained: x <- x * b) -------------------------
     b = jnp.asarray(rng.integers(1, F.P, (n * 8,), dtype=np.uint32))

@@ -343,7 +343,8 @@ def _stages_i_to_iv(proof, cfg: StwoConfig, eval_cp, masks):
 
 
 def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
-           linkage: str = "reference", air_id=None, query_sharding=None):
+           linkage: str = "reference", air_id=None, query_sharding=None,
+           query_slice=None):
     """Verify a single stwo proof; returns (ok, diagnostics dict).
 
     All leaves of `proof` are single-proof arrays (see proof.StwoProof).
@@ -429,6 +430,17 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
     queries, cp_alpha, oods_point, deep_alpha, fri_alphas = _stages_i_to_iv(
         proof, cfg, eval_cp, masks
     )
+    if query_slice is not None:
+        # Manual TP (parallel/batch.verify_batch_tp): this shard holds
+        # n_local of the Q queries; the transcript above is replicated
+        # per-proof work, every per-query stage below runs on the local
+        # slice (proof arrays arrive pre-sharded over the query axis).
+        axis_name, n_local = query_slice
+        start = jax.lax.axis_index(axis_name) * n_local
+        queries = jax.lax.dynamic_slice_in_dim(
+            queries, start, n_local, axis=-1
+        )
+    n_q = queries.shape[-1]  # = cfg.n_queries, or the local TP slice
     queries = _cq(queries, 1)
     trace_leaf = sha256_words(proof.trace_evals)  # (Q, 8)
     cp_leaf = sha256_words(proof.cp_evals)
@@ -449,8 +461,8 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
     both = merkle.verify_path(
         leaves, jnp.concatenate([queries, queries], axis=-1), sibs, roots
     )
-    masks["trace_merkle"] = jnp.all(both[..., : cfg.n_queries], axis=-1)
-    masks["cp_merkle"] = jnp.all(both[..., cfg.n_queries :], axis=-1)
+    masks["trace_merkle"] = jnp.all(both[..., :n_q], axis=-1)
+    masks["cp_merkle"] = jnp.all(both[..., n_q:], axis=-1)
 
     # Stage VI: DEEP quotients (fri/answers.simf).  The query points are
     # computed once (one 31-step scalar mul) and shared with stage VII's
@@ -493,7 +505,7 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
         m_idx.append(node_idx)
         m_sibs.append(sib)
         m_roots.append(jnp.broadcast_to(root[..., None, :], node.shape))
-        m_depths.extend([depth] * cfg.n_queries)
+        m_depths.extend([depth] * n_q)
     ok_paths = merkle.verify_path_padded(
         _cq(jnp.concatenate(m_nodes, axis=-2), 2),
         _cq(jnp.concatenate(m_idx, axis=-1), 1),
@@ -503,7 +515,7 @@ def verify(proof, cfg: StwoConfig, air="wide_fibonacci",
     )
     for l in range(len(roots)):
         masks[f"fri_merkle_{l}"] = jnp.all(
-            ok_paths[..., l * cfg.n_queries : (l + 1) * cfg.n_queries], axis=-1
+            ok_paths[..., l * n_q : (l + 1) * n_q], axis=-1
         )
 
     last = jnp.broadcast_to(proof.fri_last[..., None, :], cur_e.shape)

@@ -244,12 +244,18 @@ def stwo_fold_sharded(values, alphas, lde_log: int, mesh: Mesh,
 # ---------------------------------------------------------------------- #
 
 
-def stwo_commit_sharded(values, mesh: Mesh, axis_name: str = "sp"):
+def stwo_commit_sharded(values, mesh: Mesh, axis_name: str = "sp",
+                        return_levels: bool = False):
     """Merkle root of a sharded stwo FRI/trace layer.
 
     values: (N, W) M31/QM31 leaf word arrays in NATURAL position order
     (leaf s of the committed tree = sha256 of values[bit_reverse(s)]).
-    Returns the (8,) root digest (replicated).
+    Returns the (8,) root digest (replicated); with ``return_levels`` also
+    the list of per-level digest arrays in NATURAL index order — level l
+    has shape (N/2^l, 8); tree-order node t of that level is natural index
+    bit_reverse(t, log-l) (see natural_levels_to_tree).  Distributed
+    levels stay sharded over `axis_name`; levels of size < n_devices are
+    replicated.
     """
     from ..ops.sha256 import sha256_pair, sha256_words
 
@@ -261,29 +267,69 @@ def stwo_commit_sharded(values, mesh: Mesh, axis_name: str = "sp"):
     n_dist_levels = (n // n_dev).bit_length() - 1  # size n -> size n_dev
 
     def body(vals):
+        levels = []
         cur = sha256_words(vals)  # local leaf digests (C, 8)
+        levels.append(cur)
         for _ in range(n_dist_levels):
             sib = jax.lax.ppermute(cur, axis_name, sibling_perm)
             # natural-order node: left = lower half (this device for
             # d < D/2), right = upper half (the permuted sibling)
             node = sha256_pair(cur, sib)
             cur = _rebalance(node, axis_name, n_dev)
+            levels.append(cur)
         # one digest per device: finish the top levels replicated
         # (all_gather output can't be *statically* proven replicated, so
         # every device returns its copy of the root and the caller reads
         # row 0)
         top = jax.lax.all_gather(cur, axis_name, axis=0)  # (D, 1, 8)
         top = top.reshape(n_dev, 8)
+        top_levels = []
         size = n_dev
         while size > 1:
             half = size // 2
             top = sha256_pair(top[:half], top[half : 2 * half])
+            top_levels.append(top)
             size = half
-        return top[0:1]
+        return top[0:1], tuple(levels), tuple(top_levels)
 
     spec_v = Pspec(axis_name, *([None] * (values.ndim - 1)))
     fn = shard_map(
-        body, mesh=mesh, in_specs=(spec_v,), out_specs=Pspec(axis_name),
+        body, mesh=mesh, in_specs=(spec_v,),
+        out_specs=(
+            Pspec(axis_name),
+            tuple(Pspec(axis_name) for _ in range(1 + n_dist_levels)),
+            tuple(Pspec(axis_name) for _ in range(n_dev.bit_length() - 1)),
+        ),
     )
     values = jax.device_put(values, NamedSharding(mesh, spec_v))
-    return jax.jit(fn)(values)[0]
+    root_rows, dist_levels, top_levels = jax.jit(fn)(values)
+    root = root_rows[0]
+    if not return_levels:
+        return root
+    # top levels came back tiled over the axis (each device contributed an
+    # identical copy); keep one copy each
+    n_top = len(top_levels)
+    tops = [lvl.reshape(n_dev, -1, 8)[0] for lvl in top_levels]
+    # dist_levels[-1] has one digest per device == tops' input level
+    all_levels = list(dist_levels) + tops
+    return root, all_levels
+
+
+def natural_levels_to_tree(levels, log: int):
+    """Convert natural-index-order level arrays (stwo_commit_sharded) to
+    the bit-reversed-leaf tree order of ops.merkle.build_tree, so
+    merkle.gather_path works unchanged (host-side, numpy)."""
+    from ..ops.u32 import bit_reverse
+
+    out = []
+    for l, arr in enumerate(levels):
+        arr = np.asarray(arr)
+        m_log = log - l
+        if m_log <= 0:
+            out.append(arr)
+            continue
+        t = np.arange(1 << m_log, dtype=np.uint32)
+        perm = np.asarray(bit_reverse(t, m_log)).astype(np.int64)
+        out.append(arr[perm])
+    # append the root level for gather_path's levels[:-1] convention
+    return out
