@@ -35,6 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from .sha256_kernel import (
     LANES,
     SUBLANES,
@@ -43,6 +45,12 @@ from .sha256_kernel import (
     _sha_words_tiles,
     _walk_tiles,
 )
+
+# Sublanes per grid step for the fused kernels.  Fatter steps amortize the
+# ~10 us fixed per-grid-step cost (measured, MICRO_r04) at the price of
+# more VMEM per step (the FRI kernel's sibs block is the limit:
+# sum(depths)*8*BLOCK*128*4 bytes ~ 4.7 MB at BLOCK=16 for production).
+BLOCK = int(os.environ.get("STPU_FRI_BLOCK", "16"))
 
 _P = np.uint32(0x7FFFFFFF)
 _LOW16 = np.uint32(0xFFFF)
@@ -166,23 +174,24 @@ def leafwalk_tiled(evals, idx, sibs, root, n_words: int, depth: int):
     """evals (n_words, M, 128), idx (1, M, 128), sibs (depth, 8, M, 128),
     root (8, M, 128) -> ok (1, M, 128) u32 in {0, 1}."""
     M = evals.shape[1]
-    assert M % SUBLANES == 0
     if _interpret():
         return _leafwalk_jnp(evals, idx.astype(jnp.uint32), sibs, root,
                              n_words, depth)
-    dspec = pl.BlockSpec((8, SUBLANES, LANES), lambda i: (0, i, 0),
+    blk = BLOCK if M % BLOCK == 0 else SUBLANES
+    assert M % blk == 0
+    dspec = pl.BlockSpec((8, blk, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
-    ispec = pl.BlockSpec((1, SUBLANES, LANES), lambda i: (0, i, 0),
+    ispec = pl.BlockSpec((1, blk, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_leafwalk_kernel, n_words, depth),
         out_shape=jax.ShapeDtypeStruct((1, M, LANES), jnp.uint32),
-        grid=(M // SUBLANES,),
+        grid=(M // blk,),
         in_specs=[
-            pl.BlockSpec((n_words, SUBLANES, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((n_words, blk, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             ispec,
-            pl.BlockSpec((depth, 8, SUBLANES, LANES), lambda i: (0, 0, i, 0),
+            pl.BlockSpec((depth, 8, blk, LANES), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
             dspec,
         ],
@@ -282,13 +291,14 @@ def fri_all_layers_tiled(queries, evals, wits, cinvs, alphas, sibs, roots,
     L = len(depths)
     total_d = sum(depths)
     M = queries.shape[1]
-    assert M % SUBLANES == 0
     if _interpret():
         return _fri_jnp(queries.astype(jnp.uint32), evals, wits, cinvs,
                         alphas, sibs, roots, depths)
-    ispec = pl.BlockSpec((1, SUBLANES, LANES), lambda i: (0, i, 0),
+    blk = BLOCK if M % BLOCK == 0 else SUBLANES
+    assert M % blk == 0
+    ispec = pl.BlockSpec((1, blk, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
-    qspec = pl.BlockSpec((4, SUBLANES, LANES), lambda i: (0, i, 0),
+    qspec = pl.BlockSpec((4, blk, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fri_kernel, tuple(int(d) for d in depths)),
@@ -297,23 +307,23 @@ def fri_all_layers_tiled(queries, evals, wits, cinvs, alphas, sibs, roots,
             jax.ShapeDtypeStruct((4, M, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((1, M, LANES), jnp.uint32),
         ),
-        grid=(M // SUBLANES,),
+        grid=(M // blk,),
         in_specs=[
             ispec,
             qspec,
-            pl.BlockSpec((L, 4, SUBLANES, LANES), lambda i: (0, 0, i, 0),
+            pl.BlockSpec((L, 4, blk, LANES), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, SUBLANES, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((L, blk, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 4, SUBLANES, LANES), lambda i: (0, 0, i, 0),
+            pl.BlockSpec((L, 4, blk, LANES), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((total_d, 8, SUBLANES, LANES),
+            pl.BlockSpec((total_d, 8, blk, LANES),
                          lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 8, SUBLANES, LANES), lambda i: (0, 0, i, 0),
+            pl.BlockSpec((L, 8, blk, LANES), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((L, SUBLANES, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((L, blk, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             qspec,
             ispec,
