@@ -120,8 +120,9 @@ def _big_sigma1(x):
 
 # fori_loop unroll factor: trades XLA loop overhead against traced-graph
 # size (compile time).  The speed-of-light path is the Pallas kernel, not
-# this knob.
-UNROLL = 4
+# this knob; tests/conftest.py sets STPU_SHA_UNROLL=1 so the CPU suite
+# compiles ~4x less HLO per compression call site.
+UNROLL = int(os.environ.get("STPU_SHA_UNROLL", "4"))
 
 
 def _round_fn(k_t, w_t, vs):

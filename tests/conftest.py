@@ -11,6 +11,19 @@ import os
 # JAX_PLATFORMS=axon): the test suite needs 8 virtual devices for the
 # mesh/sharding tests.  Override with STPU_TEST_PLATFORM if ever needed.
 os.environ["JAX_PLATFORMS"] = os.environ.get("STPU_TEST_PLATFORM", "cpu")
+# Compact SHA compression bodies: ~4x less HLO per call site, same values
+# (the unroll factor is a pure compile-time knob) — cold-machine compile
+# time is the suite's dominant cost.
+os.environ.setdefault("STPU_SHA_UNROLL", "1")
+# Persistent compile cache: repeat suite runs on the same machine skip
+# XLA recompilation entirely (cache entries are machine-specific, so this
+# does not help a genuinely cold machine — the committed proof fixtures
+# in tests/fixtures/own_proofs and the compact-unroll knob do).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"),
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
