@@ -28,14 +28,13 @@ Layout contract (shared with sha256_kernel): one logical u32 word per
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-import os
 
 from .sha256_kernel import (
     LANES,

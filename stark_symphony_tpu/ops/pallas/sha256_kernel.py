@@ -103,12 +103,16 @@ def _bsig1(x):
 
 
 def _rounds(vs, get_w):
-    """64 unrolled SHA-256 rounds; get_w(t) returns the schedule word."""
+    """64 unrolled SHA-256 rounds; get_w(t) returns the schedule word.
+
+    ch/maj use the 3-op/4-op forms (g ^ (e & (f ^ g)) and
+    (a & (b | c)) | (b & c)) — bitwise-identical to the spec formulas,
+    two fewer VPU ops per round."""
     a, b, c, d, e, f, g, h = vs
     for t in range(64):
         wt = get_w(t)
-        ch = (e & f) ^ (~e & g)
-        maj = (a & b) ^ (a & c) ^ (b & c)
+        ch = g ^ (e & (f ^ g))
+        maj = (a & (b | c)) | (b & c)
         t1 = h + _bsig1(e) + ch + np.uint32(K[t]) + wt
         t2 = _bsig0(a) + maj
         a, b, c, d, e, f, g, h = t1 + t2, a, b, c, d + t1, e, f, g

@@ -127,8 +127,9 @@ UNROLL = int(os.environ.get("STPU_SHA_UNROLL", "4"))
 
 def _round_fn(k_t, w_t, vs):
     a, b, c, d, e, f, g, h = vs
-    ch = (e & f) ^ (~e & g)
-    maj = (a & b) ^ (a & c) ^ (b & c)
+    # 3-op ch / 4-op maj forms, bitwise-identical to the spec formulas
+    ch = g ^ (e & (f ^ g))
+    maj = (a & (b | c)) | (b & c)
     t1 = h + _big_sigma1(e) + ch + k_t + w_t
     t2 = _big_sigma0(a) + maj
     return (t1 + t2, a, b, c, d + t1, e, f, g)
