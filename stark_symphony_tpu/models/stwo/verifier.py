@@ -586,7 +586,10 @@ def verify_batch_tiled(tb, cfg: StwoConfig, air: str = "wide_fibonacci",
 
     q_t = lanes_of(queries)[None]  # (1, M, 128)
 
-    # Stage V: fused leaf-hash + walk + root compare, trace then CP
+    # Stage V: fused leaf-hash + walk + root compare, trace then CP.
+    # (A single merged both-trees kernel was tried in r04 and measured
+    # 2% SLOWER with +500 s compile — Mosaic gains nothing from the
+    # second independent dependency chain at BLOCK=16.)
     root_trace = jnp.stack(
         [bcast_lanes(tb.commitments[:, 1, i]) for i in range(8)]
     )

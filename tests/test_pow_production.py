@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from stark_symphony_tpu.models.stwo import proof as P
-from stark_symphony_tpu.models.stwo import prover, tiled, verifier
+from stark_symphony_tpu.models.stwo import prover, verifier
 from stark_symphony_tpu.models.stwo.config import PRODUCTION, StwoConfig
 from stark_symphony_tpu.utils.proofcache import cached_stwo_proof
 
@@ -64,22 +64,25 @@ PROD_TAMPERS = [
 @pytest.mark.slow
 def test_production_tamper_matrix_reference_linkage():
     """Full 15-class matrix at PRODUCTION shape (16 queries, 8 inner
-    layers) under enforced stage-VI linkage — one batched verification:
-    lane 0 untampered (accept), lane k = tamper class k (reject).  Run
-    through BOTH the standard and the tiled fused-kernel paths."""
+    layers) under enforced stage-VI linkage.  One single-proof executable
+    (verify_jit) compiled once and run per class — a batched-lane variant
+    costs a separate heavyweight PRODUCTION compile on CPU hosts for no
+    extra coverage.  Tiled-path tamper agreement is pinned per-lane at
+    TESTING size (test_tiled.py) and at PRODUCTION by the on-TPU bench
+    accept gate."""
     proof = cached_stwo_proof(PRODUCTION)
-    lanes = [proof] + [
-        _tamper_lane(proof, f, m, i) for (f, m, i) in PROD_TAMPERS
+    ok0, masks0 = verifier.verify_jit(
+        proof, PRODUCTION, "wide_fibonacci", "reference"
+    )
+    assert bool(ok0), [
+        k for k, v in masks0.items() if not np.asarray(v).all()
     ]
-    batch = P.stack(lanes)
-    bm = np.asarray(
-        verifier.verify_batch(batch, PRODUCTION, linkage="reference")
-    )
-    assert bm[0], "untampered production proof must verify"
-    assert not bm[1:].any(), (
-        f"tamper classes accepted: "
-        f"{[PROD_TAMPERS[i][0] for i in np.nonzero(bm[1:])[0]]}"
-    )
-    tb = tiled.tile_batch(batch, PRODUCTION)
-    bm_t = np.asarray(verifier.verify_batch_tiled(tb, PRODUCTION))
-    assert (bm_t == bm).all(), "tiled path diverges from standard path"
+    accepted = []
+    for field, mutate, tuple_idx in PROD_TAMPERS:
+        bad = _tamper_lane(proof, field, mutate, tuple_idx)
+        ok, _ = verifier.verify_jit(
+            bad, PRODUCTION, "wide_fibonacci", "reference"
+        )
+        if bool(ok):
+            accepted.append((field, tuple_idx))
+    assert not accepted, f"tamper classes accepted: {accepted}"
