@@ -92,6 +92,11 @@ def main():
     eff = {
         n: round(results[n] / (n * results[1]), 4) for n in counts
     }
+    virtual = backend == "cpu"
+    # SCALE_ANCHOR: the real-chip n=1 rate (proofs/s) from bench.py's
+    # chained measurement, recorded IN the artifact so the absolute anchor
+    # and the (virtual) curve live together (VERDICT r04 task 10).
+    anchor = os.environ.get("SCALE_ANCHOR")
     out = {
         "metric": "stwo_dp_scaling",
         "backend": backend,
@@ -99,7 +104,21 @@ def main():
         "per_device_batch": per_dev,
         "throughput_proofs_per_sec": {str(n): round(v, 1) for n, v in results.items()},
         "efficiency_vs_1": {str(n): eff[n] for n in counts},
-        "virtual_mesh": backend == "cpu",
+        "virtual_mesh": virtual,
+        # what this curve actually measures: on a virtual CPU mesh the N
+        # partitions oversubscribe the host's cores, so efficiency-vs-1
+        # is a host-oversubscription number, NOT ICI/DCN scaling
+        "measures": ("host_oversubscription" if virtual
+                     else "device_scaling"),
+        "real_chip_anchor": (
+            {"n": 1, "proofs_per_sec": float(anchor),
+             "source": "bench.py chained device measurement"}
+            if anchor else None),
+        # BASELINE.md's ">= 80% efficiency 1 -> N hosts" metric needs >= 2
+        # real chips; this environment has exactly one
+        "scaling_efficiency_80pct_metric": (
+            "blocked: real multi-chip unavailable in this environment"
+            if virtual or n_avail < 2 else "measured"),
     }
     path = os.environ.get("SCALE_OUT", "SCALING.json")
     with open(path, "w") as f:

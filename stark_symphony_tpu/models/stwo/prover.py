@@ -154,33 +154,44 @@ def pow_grind(cfg: StwoConfig, state):
     """
     n_cand = min(1 << 16, max(4096, 8 << cfg.pow_bits))
     target = cfg.pow_target
-    zeros = jnp.zeros((n_cand,), jnp.uint32)
 
-    def _grind_chunk(start):
-        nonces = start + jnp.arange(n_cand, dtype=jnp.uint32)
+    def _grind_chunk(start_hi, start_lo):
+        nonces = start_lo + jnp.arange(n_cand, dtype=jnp.uint32)
+        his = jnp.broadcast_to(start_hi, (n_cand,))
         cand_states = ch.ChannelState(
             jnp.broadcast_to(state.digest, (n_cand, 8)),
             jnp.broadcast_to(state.counter, (n_cand,)),
         )
-        mixed = ch.mix_u64(cand_states, zeros, nonces)
+        mixed = ch.mix_u64(cand_states, his, nonces)
         hi = byte_swap32(mixed.digest[..., 7])
         lo = byte_swap32(mixed.digest[..., 6])
         ok = lt64(hi, lo, jnp.uint32(target >> 32),
                   jnp.uint32(target & 0xFFFFFFFF))
-        return jnp.any(ok), nonces[jnp.argmax(ok)]
+        best = jnp.argmax(ok)
+        return jnp.any(ok), his[best], nonces[best]
 
     def _cond(c):
         return ~c[0]
 
     def _body(c):
-        _, _, start = c
-        found, nonce = _grind_chunk(start)
-        return found, nonce, start + jnp.uint32(n_cand)
+        _, _, _, start_hi, start_lo = c
+        found, nhi, nlo = _grind_chunk(start_hi, start_lo)
+        # advance over the full 64-bit nonce space: the low word wraps to 0
+        # after 2^32 candidates (n_cand is a power of two) and carries into
+        # the high word, so the search terminates iff ANY 64-bit nonce
+        # meets the target (advisor r04: hi was pinned to 0, re-scanning
+        # the same 2^32 candidates forever at pow_bits near 32).
+        next_lo = start_lo + jnp.uint32(n_cand)
+        next_hi = start_hi + jnp.where(next_lo == 0, jnp.uint32(1),
+                                       jnp.uint32(0))
+        return found, nhi, nlo, next_hi, next_lo
 
-    _, nonce, _ = jax.lax.while_loop(
-        _cond, _body, (jnp.bool_(False), jnp.uint32(0), jnp.uint32(0))
+    _, nhi, nlo, _, _ = jax.lax.while_loop(
+        _cond, _body,
+        (jnp.bool_(False), jnp.uint32(0), jnp.uint32(0), jnp.uint32(0),
+         jnp.uint32(0)),
     )
-    return nonce
+    return jnp.stack([nhi, nlo])
 
 
 EMPTY_ROOT_WORDS = np.frombuffer(
@@ -374,8 +385,8 @@ def _prove_jit(cfg: StwoConfig, trace, air: str = "wide_fibonacci"):
     state = ch.mix_words(state, fri_last)
 
     # 8. PoW grind (pow_grind below)
-    nonce = pow_grind(cfg, state)
-    state = ch.mix_u64(state, jnp.uint32(0), nonce)
+    nonce = pow_grind(cfg, state)  # (2,) = (hi, lo) over the u64 space
+    state = ch.mix_u64(state, nonce[0], nonce[1])
 
     # 9. queries + decommitments (bit-reversed leaf indexing)
     state, queries = ch.draw_queries(state, cfg.n_queries, lde_log)
@@ -429,7 +440,7 @@ def _prove_jit(cfg: StwoConfig, trace, air: str = "wide_fibonacci"):
         fri_last=fri_last,
         fri_witnesses=tuple(fri_wits),
         fri_sibs=tuple(fri_sibs),
-        pow_nonce=jnp.stack([jnp.uint32(0), nonce]),
+        pow_nonce=nonce,
     )
 
 

@@ -126,7 +126,7 @@ def prove_sharded(cfg: StwoConfig, mesh, axis_name: str = "sp",
 
     # PoW + queries (replicated — per-proof transcript work)
     nonce = jax.jit(pow_grind, static_argnums=(0,))(cfg, state)
-    state = ch.mix_u64(state, jnp.uint32(0), nonce)
+    state = ch.mix_u64(state, nonce[0], nonce[1])
     state, queries = ch.draw_queries(state, cfg.n_queries, lde_log)
     queries = np.asarray(queries)
 
@@ -177,6 +177,6 @@ def prove_sharded(cfg: StwoConfig, mesh, axis_name: str = "sp",
         fri_last=fri_last.astype(np.uint32),
         fri_witnesses=tuple(fri_wits),
         fri_sibs=tuple(s.astype(np.uint32) for s in fri_sibs),
-        pow_nonce=np.array([0, int(np.asarray(nonce))], np.uint32),
+        pow_nonce=np.asarray(nonce, np.uint32),
     )
     return proof, {"n_sharded_layers": n_sharded}

@@ -120,8 +120,8 @@ def query_points(cfg: StwoConfig, queries):
     point table (ops/circle.py query_point_table; bit-reversal + position
     map + scalar mul folded into the table) — the 31-step conditional-add
     chain (m31_point.simf:59-91) cost ~40% of the whole verification. The
-    scalar-mul path remains for huge domains and is pinned bit-exact
-    against the table by tests/test_stwo_verifier.py."""
+    scalar-mul path remains for huge domains; both branches are pinned
+    bit-identical by test_query_point_table_matches_scalar_mul."""
     if cfg.lde_log_size <= _POINT_TABLE_MAX_LOG:
         table = query_point_table(cfg.lde_log_size)
         return jnp.take(jnp.asarray(table), queries.astype(jnp.int32), axis=0)

@@ -36,10 +36,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..sha256 import _padding_words
 from .sha256_kernel import (
     LANES,
     SUBLANES,
+    _compress_tiles2,
     _interpret,
+    _iv_tiles,
     _node_tiles,
     _sha_words_tiles,
     _walk_tiles,
@@ -50,6 +53,28 @@ from .sha256_kernel import (
 # more VMEM per step (the FRI kernel's sibs block is the limit:
 # sum(depths)*8*BLOCK*128*4 bytes ~ 4.7 MB at BLOCK=16 for production).
 BLOCK = int(os.environ.get("STPU_FRI_BLOCK", "16"))
+
+# Interleave the two independent leaf-hash streams of each FRI layer at
+# the round level (sha256_kernel._compress_tiles2).  A/B'd on the real
+# chip; see MICRO_r05.json / docs/tiled_path.md for the measurement.
+INTERLEAVE = os.environ.get("STPU_FRI_INTERLEAVE", "1") == "1"
+
+
+def _sha_words_tiles2(ws0, ws1):
+    """SHA-256 of two independent equal-length tiled messages with their
+    compression rounds interleaved (ILP; see _compress_tiles2)."""
+    n = len(ws0)
+    assert len(ws1) == n
+    pad, n_blocks = _padding_words(n)
+    vs0, vs1 = _iv_tiles(ws0[0]), _iv_tiles(ws1[0])
+    for blk in range(n_blocks):
+        w0, w1 = [], []
+        for i in range(16):
+            j = 16 * blk + i
+            w0.append(ws0[j] if j < n else np.uint32(pad[j - n]))
+            w1.append(ws1[j] if j < n else np.uint32(pad[j - n]))
+        vs0, vs1 = _compress_tiles2(vs0, w0, vs1, w1)
+    return vs0, vs1
 
 _P = np.uint32(0x7FFFFFFF)
 _LOW16 = np.uint32(0xFFFF)
@@ -168,15 +193,20 @@ def _leafwalk_jnp(evals, idx, sibs, root, n_words: int, depth: int):
     return ok.astype(jnp.uint32)[None]
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def leafwalk_tiled(evals, idx, sibs, root, n_words: int, depth: int):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def leafwalk_tiled(evals, idx, sibs, root, n_words: int, depth: int,
+                   block: int = 0):
     """evals (n_words, M, 128), idx (1, M, 128), sibs (depth, 8, M, 128),
-    root (8, M, 128) -> ok (1, M, 128) u32 in {0, 1}."""
+    root (8, M, 128) -> ok (1, M, 128) u32 in {0, 1}.
+
+    block: sublanes per grid step (0 = auto: BLOCK when it divides M,
+    else SUBLANES) — explicit values let bench_micro measure the fixed
+    per-grid-step cost by timing the same work at two step sizes."""
     M = evals.shape[1]
     if _interpret():
         return _leafwalk_jnp(evals, idx.astype(jnp.uint32), sibs, root,
                              n_words, depth)
-    blk = BLOCK if M % BLOCK == 0 else SUBLANES
+    blk = block or (BLOCK if M % BLOCK == 0 else SUBLANES)
     assert M % blk == 0
     dspec = pl.BlockSpec((8, blk, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
@@ -214,8 +244,11 @@ def _fri_kernel(depths, q_ref, ev_ref, wit_ref, cinv_ref, alpha_ref,
         w = tuple(wit_ref[l, i] for i in range(4))
         e0 = tuple(jnp.where(odd, wi, ei) for wi, ei in zip(w, e))
         e1 = tuple(jnp.where(odd, ei, wi) for wi, ei in zip(w, e))
-        leaf0 = _sha_words_tiles(e0)
-        leaf1 = _sha_words_tiles(e1)
+        if INTERLEAVE:
+            leaf0, leaf1 = _sha_words_tiles2(e0, e1)
+        else:
+            leaf0 = _sha_words_tiles(e0)
+            leaf1 = _sha_words_tiles(e1)
         cur = _node_tiles(leaf0, leaf1)
         idx = q >> _ONE
         for lvl in range(depths[l]):
@@ -274,9 +307,9 @@ def _fri_jnp(queries, evals, wits, cinvs, alphas, sibs, roots, depths):
     return jnp.stack(oks), jnp.stack(e), q[None]
 
 
-@functools.partial(jax.jit, static_argnums=(7,))
+@functools.partial(jax.jit, static_argnums=(7, 8))
 def fri_all_layers_tiled(queries, evals, wits, cinvs, alphas, sibs, roots,
-                         depths):
+                         depths, block: int = 0):
     """All FRI layers in one kernel.
 
     queries (1, M, 128); evals (4, M, 128) — the stage-VI answers;
@@ -293,7 +326,7 @@ def fri_all_layers_tiled(queries, evals, wits, cinvs, alphas, sibs, roots,
     if _interpret():
         return _fri_jnp(queries.astype(jnp.uint32), evals, wits, cinvs,
                         alphas, sibs, roots, depths)
-    blk = BLOCK if M % BLOCK == 0 else SUBLANES
+    blk = block or (BLOCK if M % BLOCK == 0 else SUBLANES)
     assert M % blk == 0
     ispec = pl.BlockSpec((1, blk, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)

@@ -51,6 +51,8 @@ def cached_stwo_proof(cfg, tag: str = "", air: str = "wide_fibonacci",
     `seed` (optional int) keys distinct-trace proofs for mixed batches.
     """
     import os
+    import re
+    import sys
     import tempfile
 
     import jax
@@ -62,27 +64,57 @@ def cached_stwo_proof(cfg, tag: str = "", air: str = "wide_fibonacci",
     _CACHE.mkdir(parents=True, exist_ok=True)
     seed_part = "" if seed is None else f"_s{int(seed)}"
     prefix = f"stwo_{air}_{_cfg_hash(cfg)}{seed_part}_"
-    path = _CACHE / f"{prefix}{stwo_source_hash()}.npz"
-    candidates = [path] if path.exists() else sorted(
+    src = stwo_source_hash()
+    path = _CACHE / f"{prefix}{src}.npz"
+
+    def _same_trace(p: pathlib.Path) -> bool:
+        # A seed=None glob on `prefix` would also match seeded entries
+        # ('..._s3_<srchash>'): the remainder after the prefix must be the
+        # source hash (hex — never starts with 's'), not a seed marker.
+        rest = p.name[len(prefix):]
+        return seed is not None or not re.match(r"s\d+_", rest)
+
+    strict = os.environ.get("STPU_PROOFCACHE_STRICT", "0") == "1"
+    candidates = [path] if path.exists() else []
+    if not candidates and not strict:
         # stale-source fallback: a source edit rarely changes proof BYTES;
         # every downstream consumer asserts the proof verifies, so a truly
         # stale proof is caught there — while non-semantic edits skip the
-        # minutes-long prover re-run.  Delete tests/.proof_cache to force.
-        _CACHE.glob(f"{prefix}*.npz"),
-        key=lambda p: p.stat().st_mtime, reverse=True,
-    )
-    if not candidates:
-        # committed fixtures (cold machines: skip the prover compile)
+        # minutes-long prover re-run.  Delete tests/.proof_cache or set
+        # STPU_PROOFCACHE_STRICT=1 to force regeneration instead.
         candidates = sorted(
-            (_ROOT / "tests" / "fixtures" / "own_proofs").glob(
-                f"{prefix}*.npz"
-            )
+            (p for p in _CACHE.glob(f"{prefix}*.npz") if _same_trace(p)),
+            key=lambda p: p.stat().st_mtime, reverse=True,
         )
+    if not candidates:
+        # committed fixtures (cold machines: skip the prover compile);
+        # exact source-hash match first, stale fixtures only if not strict
+        fixdir = _ROOT / "tests" / "fixtures" / "own_proofs"
+        exact = fixdir / f"{prefix}{src}.npz"
+        if exact.exists():
+            candidates = [exact]
+        elif not strict:
+            candidates = sorted(
+                p for p in fixdir.glob(f"{prefix}*.npz") if _same_trace(p)
+            )
     for cand in candidates:
         try:
-            return P.load_npz(str(cand))
+            loaded = P.load_npz(str(cand))
         except Exception:
-            cand.unlink(missing_ok=True)  # truncated write: regenerate
+            # truncated cache write: drop and regenerate.  NEVER unlink a
+            # committed fixture (it is a tracked repo file) — skip it.
+            if _CACHE in cand.parents:
+                cand.unlink(missing_ok=True)
+            else:
+                print(f"[proofcache] unreadable fixture skipped: {cand}",
+                      file=sys.stderr)
+            continue
+        if not cand.name.endswith(f"{src}.npz"):
+            print(
+                f"[proofcache] serving stale-source proof {cand.name} "
+                f"(current source hash {src}; set STPU_PROOFCACHE_STRICT=1 "
+                "to force regeneration)", file=sys.stderr)
+        return loaded
     kwargs = {}
     if seed is not None:
         t = 1 << cfg.trace_log_size

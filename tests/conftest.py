@@ -84,6 +84,38 @@ def pytest_configure(config):
     )
 
 
+# --- suite wall-time artifact (VERDICT r04 task 8) -----------------------
+# STPU_RECORD_TIMING=1 writes SUITE_TIMING.json at session end so the
+# suite's cost is a recorded, trendable artifact (CI sets it; local runs
+# stay clean).
+
+def pytest_sessionstart(session):
+    import time
+
+    session._stpu_t0 = time.time()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if os.environ.get("STPU_RECORD_TIMING") != "1":
+        return
+    import json
+    import time
+
+    out = {
+        "suite_wall_s": round(time.time() - session._stpu_t0, 1),
+        "tests_collected": getattr(session, "testscollected", None),
+        "exit_status": int(exitstatus),
+        "cpus": os.cpu_count(),
+        "cache_state": ("warm" if (_REPO_ROOT / ".jax_cache").exists()
+                        else "cold"),
+        "marker_filter": session.config.option.markexpr or "(all)",
+    }
+    with open(os.environ.get("STPU_TIMING_OUT",
+                             str(_REPO_ROOT / "SUITE_TIMING.json")),
+              "w") as f:
+        json.dump(out, f)
+
+
 @pytest.fixture(scope="session")
 def fixtures_dir() -> pathlib.Path:
     return FIXTURES

@@ -51,6 +51,28 @@ def test_kernel_math_sha_words(n_words):
     np.testing.assert_array_equal(out, want)
 
 
+@pytest.mark.parametrize("n_words", [4, 16])
+def test_kernel_math_interleaved_pair_stream(n_words):
+    """The round-interleaved two-stream compression (_compress_tiles2 via
+    fri_kernel._sha_words_tiles2) is bit-identical to two independent
+    single-stream hashes — the ILP transform must not change a bit."""
+    from stark_symphony_tpu.ops.pallas import fri_kernel as fk
+
+    m0 = _rand((29, n_words), seed=50 + n_words)
+    m1 = _rand((29, n_words), seed=51 + n_words)
+    t0 = [m0[:, i] for i in range(n_words)]
+    t1 = [m1[:, i] for i in range(n_words)]
+    got0, got1 = fk._sha_words_tiles2(t0, t1)
+    want0 = pk._sha_words_tiles(t0)
+    want1 = pk._sha_words_tiles(t1)
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(x) for x in got0]),
+        np.stack([np.asarray(x) for x in want0]))
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(x) for x in got1]),
+        np.stack([np.asarray(x) for x in want1]))
+
+
 def test_kernel_math_node_pair():
     left = _rand((17, 8), seed=2)
     right = _rand((17, 8), seed=3)

@@ -64,12 +64,10 @@ PROD_TAMPERS = [
 @pytest.mark.slow
 def test_production_tamper_matrix_reference_linkage():
     """Full 15-class matrix at PRODUCTION shape (16 queries, 8 inner
-    layers) under enforced stage-VI linkage.  One single-proof executable
-    (verify_jit) compiled once and run per class — a batched-lane variant
-    costs a separate heavyweight PRODUCTION compile on CPU hosts for no
-    extra coverage.  Tiled-path tamper agreement is pinned per-lane at
-    TESTING size (test_tiled.py) and at PRODUCTION by the on-TPU bench
-    accept gate."""
+    layers) under enforced stage-VI linkage, through the STANDARD path.
+    One single-proof executable (verify_jit) compiled once and run per
+    class.  The tiled path's PRODUCTION matrix is the batched-lane test
+    below (one compile, tampers in lanes)."""
     proof = cached_stwo_proof(PRODUCTION)
     ok0, masks0 = verifier.verify_jit(
         proof, PRODUCTION, "wide_fibonacci", "reference"
@@ -86,3 +84,47 @@ def test_production_tamper_matrix_reference_linkage():
         if bool(ok):
             accepted.append((field, tuple_idx))
     assert not accepted, f"tamper classes accepted: {accepted}"
+
+
+def _tamper_batch_lane(batch, lane, field, mutate, tuple_idx):
+    """Apply a tamper to ONE proof (lane) of a stacked batch."""
+    d = batch._asdict()
+    if tuple_idx is None:
+        arr = np.array(d[field])
+        arr[lane] = mutate(arr[lane])
+        d[field] = arr
+    else:
+        t = list(d[field])
+        a = np.array(t[tuple_idx])
+        a[lane] = mutate(a[lane])
+        t[tuple_idx] = a
+        d[field] = tuple(t)
+    return P.StwoProof(**d)
+
+
+@pytest.mark.slow
+def test_production_tamper_matrix_tiled_path():
+    """The same 15-class matrix at PRODUCTION shape through the TILED
+    fast path (verify_batch_tiled — the path bench.py's headline runs).
+    All 15 tampers ride one 16-proof batch, one per lane (lane 0 is the
+    untampered control), so the matrix costs a single PRODUCTION compile
+    and a single execution; the per-lane bitmap must reject exactly lanes
+    1..15 (VERDICT r04 weak #5: the tiled path had never rejected a
+    tampered PRODUCTION proof in a test)."""
+    from stark_symphony_tpu.models.stwo import tiled
+
+    proof = cached_stwo_proof(PRODUCTION)
+    batch = P.replicate(proof, 1 + len(PROD_TAMPERS))
+    for lane, (field, mutate, tuple_idx) in enumerate(PROD_TAMPERS, 1):
+        batch = _tamper_batch_lane(batch, lane, field, mutate, tuple_idx)
+    tb = tiled.tile_batch(batch, PRODUCTION)
+    bm = np.asarray(verifier.verify_batch_tiled(
+        tb, PRODUCTION, linkage="reference"
+    ))
+    assert bm.shape == (1 + len(PROD_TAMPERS),)
+    assert bm[0], "untampered control lane must verify"
+    accepted = [
+        (PROD_TAMPERS[i - 1][0], PROD_TAMPERS[i - 1][2])
+        for i in range(1, len(bm)) if bm[i]
+    ]
+    assert not accepted, f"tiled path accepted tamper classes: {accepted}"

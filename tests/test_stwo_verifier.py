@@ -205,6 +205,27 @@ def test_fold_coords_match_position_map(lde_log, n_inner):
         )
 
 
+@pytest.mark.parametrize("lde_log", [4, 13])
+def test_query_point_table_matches_scalar_mul(lde_log, monkeypatch):
+    """query_points' two branches are bit-identical: the host-precomputed
+    table gather vs the 31-step scalar-mul path (advisor r04: the fallback
+    branch itself was never executed by any test — both parametrizations
+    took the table branch)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TESTING, lde_log_size=lde_log)
+    rng = np.random.default_rng(11)
+    q = np.concatenate([
+        rng.integers(0, 1 << lde_log, size=200).astype(np.uint32),
+        np.array([0, 1, (1 << lde_log) - 1], np.uint32),
+    ])
+    via_table = np.asarray(verifier.query_points(cfg, q))
+    # force the scalar-mul fallback branch of query_points itself
+    monkeypatch.setattr(verifier, "_POINT_TABLE_MAX_LOG", lde_log - 1)
+    via_scalar = np.asarray(verifier.query_points(cfg, q))
+    np.testing.assert_array_equal(via_table, via_scalar)
+
+
 def test_batch_verify(test_proof):
     proof, cfg = test_proof
     batch = P.replicate(proof, 4)
