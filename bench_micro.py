@@ -214,24 +214,27 @@ def main():
         froots = jnp.asarray(rng.integers(
             0, 1 << 32, (n_layers, 8, Mf, 128), dtype=np.uint32))
 
+        fri_blk = int(os.environ.get("MICRO_FRI_BLOCK", "16"))
+
         @jax.jit
         def fri_chain(carry):
             def body(i, c):
                 q, e = c
                 ok, folded, q_out = fk.fri_all_layers_tiled(
-                    q, e, wits, cinvs, alphas, fsibs, froots, depths)
+                    q, e, wits, cinvs, alphas, fsibs, froots, depths,
+                    fri_blk)
                 return q_out ^ (ok[:1]), folded
             return jax.lax.fori_loop(0, inner, body, carry)
 
         dt = timed(fri_chain, (q0, fe0))
         fri_rate = fri_compr * n_fri * inner / dt
-        t_fri_step = dt / (inner * max(1, Mf // 16))
+        t_fri_step = dt / (inner * max(1, Mf // fri_blk))
         emit("fri_all_layers_tiled_compressions_per_sec", fri_rate,
-             "compr/s", block=16, layers=n_layers,
+             "compr/s", block=fri_blk, layers=n_layers,
              compr_per_lane=fri_compr, lanes=n_fri, chained_steps=inner,
              interleave=bool(fk.INTERLEAVE))
         emit("fri_all_layers_tiled_lanes_per_sec", n_fri * inner / dt,
-             "lanes/s", block=16)
+             "lanes/s", block=fri_blk)
 
         # --- consistency gates: every hash timing must fit the
         # two-parameter model t_step = fixed + n_compr*c*(block/8) -------
@@ -250,7 +253,7 @@ def main():
             model_gate("pair", t_pair_step, 2, 8)
         model_gate("leafwalk_b8", t_lw8_step, lw_compr, 8)
         model_gate("leafwalk_b16", t_lw16_step, lw_compr, 16)
-        model_gate("fri_fused_b16", t_fri_step, fri_compr, 16)
+        model_gate(f"fri_fused_b{fri_blk}", t_fri_step, fri_compr, fri_blk)
 
     if "field" in sections:
         # --- field multiplies (chained: x <- x * b) ---------------------

@@ -56,8 +56,11 @@ BLOCK = int(os.environ.get("STPU_FRI_BLOCK", "16"))
 
 # Interleave the two independent leaf-hash streams of each FRI layer at
 # the round level (sha256_kernel._compress_tiles2).  A/B'd on the real
-# chip; see MICRO_r05.json / docs/tiled_path.md for the measurement.
-INTERLEAVE = os.environ.get("STPU_FRI_INTERLEAVE", "1") == "1"
+# chip (r05): 9.84M lanes/s interleaved vs 9.93M sequential at BLOCK=16 —
+# a wash; the VPU is issue-rate bound, not dependency-latency bound
+# (Mosaic's scheduler already fills the slots), consistent with r04's
+# merged stage-V kernel measuring 2% slower.  Default OFF.
+INTERLEAVE = os.environ.get("STPU_FRI_INTERLEAVE", "0") == "1"
 
 
 def _sha_words_tiles2(ws0, ws1):
