@@ -24,6 +24,9 @@ reshape, so only word-axis transposes happen here.
 
 from __future__ import annotations
 
+import ctypes
+import os
+import pathlib
 from typing import NamedTuple
 
 import numpy as np
@@ -33,6 +36,31 @@ from .proof import StwoProof
 
 LANES = 128
 TILE = 1024  # SUBLANES * LANES (one full vreg tile of lanes)
+
+# Native relayout (native/tile.cpp): the word-major transpose is the host
+# ingestion bottleneck of the sustained path (~1.3 s/4096-proof batch in
+# single-threaded numpy); the blocked pthread transpose cuts it several-
+# fold.  Transparent numpy fallback when the .so isn't built.
+_STILE: object = None
+
+
+def _stile():
+    global _STILE
+    if _STILE is None:
+        _STILE = False
+        if os.environ.get("STPU_NATIVE_TILE", "1") == "1":
+            so = pathlib.Path(__file__).parents[3] / "native" / "libstile.so"
+            try:
+                lib = ctypes.CDLL(str(so))
+                lib.stile_transpose_pad_u32.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+                    ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int,
+                ]
+                lib.stile_transpose_pad_u32.restype = None
+                _STILE = lib
+            except OSError:
+                pass
+    return _STILE or None
 
 
 class StwoTiledBatch(NamedTuple):
@@ -62,6 +90,17 @@ def n_tiles(batch: int, n_queries: int) -> int:
 def _tile_words(x: np.ndarray, m: int) -> np.ndarray:
     """(B, Q, ..., W) -> (..., W, M, 128): words major, lanes minor."""
     lead = x.shape[2:]
+    n = x.shape[0] * x.shape[1]
+    lib = _stile()
+    if lib is not None and x.dtype == np.uint32:
+        k = int(np.prod(lead)) if lead else 1
+        xin = np.ascontiguousarray(x).reshape(n, k)
+        out = np.empty((k, m * LANES), np.uint32)
+        lib.stile_transpose_pad_u32(
+            xin.ctypes.data, out.ctypes.data, n, k, m * LANES,
+            os.cpu_count() or 2,
+        )
+        return out.reshape(lead + (m, LANES))
     flat = np.ascontiguousarray(
         np.moveaxis(x.reshape((-1,) + lead), 0, -1)
     )  # (..., W, B*Q)

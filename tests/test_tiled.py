@@ -49,6 +49,23 @@ def test_tiled_matches_standard_on_tampered_lanes(batch):
     assert not np.asarray(masks["cp_merkle"])[2]
 
 
+def test_native_relayout_matches_numpy(monkeypatch):
+    """The C++ ingestion transpose (native/tile.cpp via ctypes) is
+    bit-identical to the numpy relayout for every array shape tile_batch
+    produces, including lane padding.  Skipped when the .so isn't built."""
+    if tiled._stile() is None:
+        pytest.skip("native/libstile.so not built")
+    rng = np.random.default_rng(3)
+    for shape, m in [((7, 3, 5, 8), 8), ((31, 16, 4), 8),
+                     ((6, 1, 8), 8), ((130, 16, 13, 8), 24)]:
+        x = rng.integers(0, 1 << 32, shape, dtype=np.uint32)
+        got = tiled._tile_words(x, m)
+        monkeypatch.setattr(tiled, "_STILE", False)  # force numpy path
+        want = tiled._tile_words(x, m)
+        monkeypatch.setattr(tiled, "_STILE", None)
+        np.testing.assert_array_equal(got, want, err_msg=str(shape))
+
+
 def test_tiled_padding_lanes_are_dropped():
     # B * Q = 5 lanes -> padded to 1024; pad lanes must not affect results
     pf = cached_stwo_proof(TESTING)
