@@ -69,11 +69,21 @@ def verify_batch_dp(batch, cfg, mesh: Mesh, air: str = "wide_fibonacci",
         n_ok = jax.lax.psum(jnp.sum(bitmap.astype(jnp.int32)), axis_name)
         return bitmap, n_ok
 
-    fn = jax.shard_map(
+    fn = jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=P(axis_name),
         out_specs=(P(axis_name), P()),
-    )
-    return jax.jit(fn)(batch)
+    ))
+    if jax.process_count() > 1:
+        # multi-controller: every process compiles this program
+        # independently (minutes of skew on loaded hosts), but the first
+        # collective's rendezvous window is short (Gloo KV ~30 s) — sync
+        # on the coordination service between compile and execution
+        from ..utils import distributed as D
+
+        compiled = fn.lower(batch).compile()
+        D.barrier("verify_batch_dp_compiled")
+        return compiled(batch)
+    return fn(batch)
 
 
 def _proof_specs(batch_axis: str, query_axis: str):

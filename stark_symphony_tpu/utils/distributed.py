@@ -41,6 +41,10 @@ def initialize_from_env() -> bool:
         coordinator_address=coord,
         num_processes=int(os.environ.get("STPU_NUM_PROCESSES", "1")),
         process_id=int(os.environ.get("STPU_PROCESS_ID", "0")),
+        # default 300 s: on oversubscribed hosts (CI, 2-core test boxes)
+        # peer startup can straggle past it while other suites compile
+        initialization_timeout=int(
+            os.environ.get("STPU_INIT_TIMEOUT", "900")),
     )
     _INITIALIZED = True
     return True
@@ -88,6 +92,23 @@ def process_count() -> int:
     import jax
 
     return jax.process_count()
+
+
+def barrier(name: str, timeout_s: int = 600) -> None:
+    """Block until every process reaches this barrier (coordination
+    service TCP barrier, NOT a device collective).
+
+    Needed before the FIRST collective of a freshly compiled program:
+    each process compiles independently, and Gloo/ICI rendezvous windows
+    are short (~30 s for Gloo's key-value exchange) — if one process
+    finishes compiling a minute after the other, the early one's
+    collective times out.  A named barrier with a generous timeout
+    absorbs arbitrary compile skew."""
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    assert client is not None, "jax.distributed must be initialized"
+    client.wait_at_barrier(name, timeout_in_ms=timeout_s * 1000)
 
 
 def local_batch_slice(global_batch: int):
